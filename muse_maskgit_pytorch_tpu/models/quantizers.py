@@ -1,0 +1,312 @@
+"""Quantizers: Lookup-Free Quantization (LFQ) and EMA Vector Quantization.
+
+TPU-native re-implementations of the two quantizers the reference pulls in
+from `vector_quantize_pytorch` (`/root/reference/muse_maskgit_pytorch/
+vqgan_vae.py:7,328-342`):
+
+  * `LFQ` — the default tokenizer quantizer (`lookup_free_quantization=True`,
+    codebook_size=65536, diversity_gamma=4, vqgan_vae.py:296,304-305,330-335).
+    Each latent channel is quantized to its sign; the token index is the
+    binary code. Losses re-derived from the MAGVIT-v2 paper (cited at
+    reference README.md:308-315): commitment MSE + entropy aux loss
+    (minimize per-sample entropy, maximize batch codebook entropy).
+    TPU-first deviation: for large codebooks the entropy terms are computed
+    over sub-codebook groups of `entropy_group_bits` bits (factorized
+    product-distribution entropy) instead of materializing the full
+    (tokens, 2^16) probability matrix — exact when groups are independent,
+    and the default 8-bit groups keep it a pair of tiny MXU matmuls.
+
+  * `VectorQuantizeEMA` — the opt-in classic VQ path (vqgan_vae.py:337-342;
+    note the reference's construction of this path is dead code due to a
+    missing comma — SURVEY.md §2.4 B2 — so this re-build makes it actually
+    work). Projected codebook (codebook_dim=256), cosine-similarity search,
+    EMA codebook updates (decay=0.8), kmeans init on the first training
+    batch, commitment loss, straight-through estimator. The nearest-code
+    search runs through the fused Pallas distance+argmax kernel
+    (`ops/vq.py`) on TPU.
+
+Both take NHWC feature maps `(b, h, w, dim)` (TPU-native layout; the
+reference is NCHW) and return `(quantized, indices, aux_loss)` matching the
+reference quantizer contract (vqgan_vae.py:422-425).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.ops.vq import nearest_code
+
+Array = jax.Array
+
+
+def l2norm(t: Array, eps: float = 1e-12) -> Array:
+    return t * jax.lax.rsqrt(jnp.sum(jnp.square(t), axis=-1, keepdims=True) + eps)
+
+
+def _entropy(p: Array, axis: int = -1, eps: float = 1e-9) -> Array:
+    return -jnp.sum(p * jnp.log(p + eps), axis=axis)
+
+
+class LFQ(nnx.Module):
+    """Lookup-free quantization: sign bits + straight-through estimator."""
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        codebook_size: int,
+        diversity_gamma: float = 4.0,
+        entropy_loss_weight: float = 0.1,
+        commitment_loss_weight: float = 0.25,
+        inv_temperature: float = 100.0,
+        entropy_group_bits: int = 8,
+        rngs: nnx.Rngs,
+    ):
+        codebook_dim = int(math.log2(codebook_size))
+        assert 2**codebook_dim == codebook_size, "codebook_size must be a power of 2"
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.codebook_dim = codebook_dim
+        self.diversity_gamma = diversity_gamma
+        self.entropy_loss_weight = entropy_loss_weight
+        self.commitment_loss_weight = commitment_loss_weight
+        self.inv_temperature = inv_temperature
+        self.entropy_group_bits = min(entropy_group_bits, codebook_dim)
+        assert codebook_dim % self.entropy_group_bits == 0
+
+        self.has_projections = dim != codebook_dim
+        if self.has_projections:
+            self.project_in = nnx.Linear(dim, codebook_dim, use_bias=False, rngs=rngs)
+            self.project_out = nnx.Linear(codebook_dim, dim, use_bias=False, rngs=rngs)
+
+    # -- bit <-> index codecs (MSB-first, matching our own decode) ----------
+
+    def _bit_weights(self) -> Array:
+        cd = self.codebook_dim
+        return jnp.left_shift(1, jnp.arange(cd - 1, -1, -1)).astype(jnp.int32)
+
+    def bits_to_indices(self, bits: Array) -> Array:
+        """bits: (..., codebook_dim) bool -> int32 indices."""
+        return jnp.sum(bits.astype(jnp.int32) * self._bit_weights(), axis=-1)
+
+    def indices_to_bits(self, indices: Array) -> Array:
+        """int indices -> (..., codebook_dim) ±1 float codes."""
+        cd = self.codebook_dim
+        shifts = jnp.arange(cd - 1, -1, -1)
+        bits = jnp.bitwise_and(jnp.right_shift(indices[..., None], shifts), 1)
+        return bits.astype(jnp.float32) * 2.0 - 1.0
+
+    def indices_to_codes(self, indices: Array) -> Array:
+        """Inverse of quantization: indices -> (..., dim) feature vectors.
+
+        Role of the reference's `quantizer.indices_to_codes`
+        (vqgan_vae.py:431).
+        """
+        codes = self.indices_to_bits(indices)
+        if self.has_projections:
+            codes = self.project_out(codes)
+        return codes
+
+    # -- losses -------------------------------------------------------------
+
+    def _entropy_aux_loss(self, x_flat: Array) -> Array:
+        """Per-sample entropy minus diversity_gamma * codebook entropy,
+        accumulated over sub-codebook bit groups."""
+        g = self.entropy_group_bits
+        num_groups = self.codebook_dim // g
+        # enumerate the 2^g sub-codebook: (2^g, g) ±1 rows
+        combos = (
+            jnp.bitwise_and(
+                jnp.right_shift(jnp.arange(2**g)[:, None], jnp.arange(g - 1, -1, -1)), 1
+            ).astype(jnp.float32)
+            * 2.0
+            - 1.0
+        )
+        xg = x_flat.reshape(-1, num_groups, g)
+        # softmax over sub-codes of -distance == 2 * x·c (constants drop out)
+        logits = 2.0 * self.inv_temperature * jnp.einsum("ngd,kd->ngk", xg, combos)
+        probs = jax.nn.softmax(logits, axis=-1)
+        per_sample_entropy = _entropy(probs).mean()
+        avg_probs = probs.mean(axis=0)  # (num_groups, 2^g)
+        codebook_entropy = _entropy(avg_probs).sum() / num_groups
+        return per_sample_entropy - self.diversity_gamma * codebook_entropy
+
+    # -- forward ------------------------------------------------------------
+
+    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array, Array]:
+        """x: (..., dim) -> (quantized (..., dim), indices (...,), aux_loss)."""
+        orig_dtype = x.dtype
+        z = self.project_in(x) if self.has_projections else x
+        z = z.astype(jnp.float32)
+
+        codes = jnp.where(z > 0, 1.0, -1.0)
+        quantized = z + jax.lax.stop_gradient(codes - z)  # STE
+        indices = self.bits_to_indices(z > 0)
+
+        z_flat = z.reshape(-1, self.codebook_dim)
+        if train:
+            entropy_aux = self._entropy_aux_loss(z_flat)
+            commit = jnp.mean(jnp.square(z - jax.lax.stop_gradient(codes)))
+            aux_loss = (
+                self.entropy_loss_weight * entropy_aux
+                + self.commitment_loss_weight * commit
+            )
+        else:
+            aux_loss = jnp.zeros((), jnp.float32)
+
+        out = quantized.astype(orig_dtype)
+        if self.has_projections:
+            out = self.project_out(out)
+        return out, indices, aux_loss
+
+
+class VectorQuantizeEMA(nnx.Module):
+    """Classic VQ with EMA codebook updates and cosine-sim search."""
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        codebook_size: int,
+        codebook_dim: int = 256,
+        decay: float = 0.8,
+        commitment_weight: float = 1.0,
+        use_cosine_sim: bool = True,
+        kmeans_init: bool = True,
+        kmeans_iters: int = 10,
+        eps: float = 1e-5,
+        rngs: nnx.Rngs,
+    ):
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.codebook_dim = codebook_dim
+        self.decay = decay
+        self.commitment_weight = commitment_weight
+        self.use_cosine_sim = use_cosine_sim
+        self.kmeans_init = kmeans_init
+        self.kmeans_iters = kmeans_iters
+        self.eps = eps
+
+        self.has_projections = dim != codebook_dim
+        if self.has_projections:
+            self.project_in = nnx.Linear(dim, codebook_dim, rngs=rngs)
+            self.project_out = nnx.Linear(codebook_dim, dim, rngs=rngs)
+
+        init = jax.random.normal(rngs.params(), (codebook_size, codebook_dim))
+        if use_cosine_sim:
+            init = l2norm(init)
+        # EMA state — not trainable parameters
+        self.codebook = nnx.BatchStat(init)
+        self.cluster_size = nnx.BatchStat(jnp.zeros((codebook_size,)))
+        self.embed_avg = nnx.BatchStat(init.copy())
+        self.initted = nnx.BatchStat(jnp.array(not kmeans_init))
+
+    # -- codebook bootstrap -------------------------------------------------
+
+    def _kmeans(self, z: Array, key: Array) -> Array:
+        """Static-iteration kmeans over the first batch (kmeans_init=True,
+        reference vq_kwargs at vqgan_vae.py:297-303)."""
+        n = z.shape[0]
+        idx = jax.random.randint(key, (self.codebook_size,), 0, n)
+        centers = z[idx]
+
+        def step(_, centers):
+            cb = l2norm(centers) if self.use_cosine_sim else centers
+            zq = l2norm(z) if self.use_cosine_sim else z
+            assign = nearest_code(zq, cb, impl="xla")
+            onehot = jax.nn.one_hot(assign, self.codebook_size, dtype=z.dtype)
+            counts = onehot.sum(0)
+            sums = onehot.T @ z
+            new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+            return jnp.where(counts[:, None] > 0, new_centers, centers)
+
+        centers = jax.lax.fori_loop(0, self.kmeans_iters, step, centers)
+        return l2norm(centers) if self.use_cosine_sim else centers
+
+    def _maybe_init(self, z: Array, key: Optional[Array]):
+        if not self.kmeans_init or key is None:
+            return
+        centers = jax.lax.cond(
+            self.initted.value,
+            lambda: self.codebook.value,
+            lambda: self._kmeans(z, key),
+        )
+        self.codebook.value = centers
+        self.embed_avg.value = jnp.where(
+            self.initted.value, self.embed_avg.value, centers
+        )
+        self.cluster_size.value = jnp.where(
+            self.initted.value, self.cluster_size.value, jnp.ones_like(self.cluster_size.value)
+        )
+        self.initted.value = jnp.array(True)
+
+    # -- EMA update ---------------------------------------------------------
+
+    def _ema_update(self, z: Array, onehot: Array):
+        counts = onehot.sum(0)  # (K,)
+        sums = onehot.T @ z  # (K, d)
+        d = self.decay
+        self.cluster_size.value = d * self.cluster_size.value + (1 - d) * counts
+        self.embed_avg.value = d * self.embed_avg.value + (1 - d) * sums
+
+        # Laplace-smoothed cluster sizes
+        n = self.cluster_size.value.sum()
+        smoothed = (
+            (self.cluster_size.value + self.eps)
+            / (n + self.codebook_size * self.eps)
+            * n
+        )
+        embed = self.embed_avg.value / smoothed[:, None]
+        if self.use_cosine_sim:
+            embed = l2norm(embed)
+        self.codebook.value = embed
+
+    # -- forward ------------------------------------------------------------
+
+    def get_codes_from_indices(self, indices: Array) -> Array:
+        codes = self.codebook.value[indices]
+        if self.has_projections:
+            codes = self.project_out(codes)
+        return codes
+
+    def __call__(
+        self, x: Array, train: bool = True, rng: Optional[Array] = None
+    ) -> Tuple[Array, Array, Array]:
+        """x: (..., dim) -> (quantized (..., dim), indices (...,), aux_loss)."""
+        lead_shape = x.shape[:-1]
+        z = self.project_in(x) if self.has_projections else x
+        z_flat = z.reshape(-1, self.codebook_dim).astype(jnp.float32)
+
+        if train:
+            self._maybe_init(z_flat, rng)
+
+        cb = self.codebook.value
+        if self.use_cosine_sim:
+            zq_search = l2norm(z_flat)
+            indices = nearest_code(zq_search, cb, cb_sq=jnp.zeros(cb.shape[0]))
+        else:
+            indices = nearest_code(z_flat, cb)
+
+        quantized_flat = cb[indices]
+        commit = jnp.mean(
+            jnp.square(jax.lax.stop_gradient(quantized_flat) - z_flat)
+        )
+        aux_loss = self.commitment_weight * commit
+
+        if train:
+            onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
+            self._ema_update(z_flat, onehot)
+
+        # straight-through
+        quantized_flat = z_flat + jax.lax.stop_gradient(quantized_flat - z_flat)
+
+        quantized = quantized_flat.reshape(*lead_shape, self.codebook_dim).astype(x.dtype)
+        if self.has_projections:
+            quantized = self.project_out(quantized)
+        indices = indices.reshape(lead_shape)
+        return quantized, indices, aux_loss.astype(jnp.float32)

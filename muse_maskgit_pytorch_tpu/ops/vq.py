@@ -1,0 +1,160 @@
+"""Vector-quantization search kernels.
+
+TPU-native replacement for the nearest-codebook search inside
+`vector_quantize_pytorch.VectorQuantize` (used by the reference at
+`/root/reference/muse_maskgit_pytorch/vqgan_vae.py:7,337-342`). The hot op is
+"for each input vector, find the argmax-similarity codebook row" — per
+BASELINE.json's north star this is fused into a single Pallas
+distance-matmul + argmax kernel so the (N, K) score matrix never round-trips
+to HBM (for the reference config K=65536, codebook_dim=256: the score matrix
+would be ~16 MB per 64 tokens while the useful output is 4 bytes/token).
+
+Score convention: `score = 2 * x @ c.T - ||c||^2` (argmax of score ==
+argmin of euclidean distance, since ||x||^2 is constant per row). For
+cosine-sim search, pass l2-normalized x and codebook with `cb_sq = 0`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (also the reference semantics for tests)
+# ---------------------------------------------------------------------------
+
+
+def nearest_code_xla(x: Array, codebook: Array, cb_sq: Optional[Array] = None) -> Array:
+    """x: (n, d), codebook: (k, d) -> int32 (n,) argmax-score indices."""
+    if cb_sq is None:
+        cb_sq = jnp.sum(jnp.square(codebook), axis=-1)
+    score = 2.0 * (x @ codebook.T) - cb_sq[None, :]
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _vq_kernel(x_ref, cb_ref, cbsq_ref, idx_ref, best_ref, argbest_ref, *, block_k: int):
+    """Grid (n_blocks, k_blocks); k is the inner (arbitrary) dimension.
+
+    Running max + argmax live in VMEM scratch across the k sweep; the index
+    block is written once on the final k step.
+    """
+    j = pl.program_id(1)
+    num_k = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_ref[:] = jnp.full_like(best_ref, NEG_INF)
+        argbest_ref[:] = jnp.zeros_like(argbest_ref)
+
+    x = x_ref[:]  # (bn, d)
+    cb = cb_ref[:]  # (bk, d)
+    score = 2.0 * jax.lax.dot_general(
+        x,
+        cb,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) - cbsq_ref[0][None, :]  # (bn, bk)
+
+    local_best = jnp.max(score, axis=-1, keepdims=True)  # (bn, 1)
+    local_arg = jnp.argmax(score, axis=-1, keepdims=True).astype(jnp.int32)
+    local_arg = local_arg + j * block_k
+
+    better = local_best > best_ref[:]
+    best_ref[:] = jnp.where(better, local_best, best_ref[:])
+    argbest_ref[:] = jnp.where(better, local_arg, argbest_ref[:])
+
+    @pl.when(j == num_k - 1)
+    def _done():
+        idx_ref[:] = argbest_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def nearest_code_pallas(
+    x: Array,
+    codebook: Array,
+    cb_sq: Optional[Array] = None,
+    block_n: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Fused distance + argmax. x: (n, d), codebook: (k, d) -> int32 (n,)."""
+    n, d = x.shape
+    k = codebook.shape[0]
+    if cb_sq is None:
+        cb_sq = jnp.sum(jnp.square(codebook), axis=-1)
+
+    block_n = min(block_n, _round_up(n, 8))
+    block_k = min(block_k, _round_up(k, 128))
+    n_pad = _round_up(n, block_n)
+    k_pad = _round_up(k, block_k)
+
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    if k_pad != k:
+        codebook = jnp.pad(codebook, ((0, k_pad - k), (0, 0)))
+        # padded codes must never win the argmax
+        cb_sq = jnp.pad(cb_sq, (0, k_pad - k), constant_values=-NEG_INF)
+    cb_sq2d = cb_sq.reshape(1, k_pad).astype(jnp.float32)
+
+    grid = (n_pad // block_n, k_pad // block_k)
+
+    idx = pl.pallas_call(
+        functools.partial(_vq_kernel, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * k_pad * d,
+            bytes_accessed=(x.size + codebook.size) * 4 + n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32), codebook.astype(jnp.float32), cb_sq2d)
+
+    return idx[:n, 0]
+
+
+def nearest_code(
+    x: Array,
+    codebook: Array,
+    cb_sq: Optional[Array] = None,
+    impl: str = "auto",
+) -> Array:
+    """Dispatch: Pallas on TPU, XLA elsewhere. x: (n, d) -> (n,) int32."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return nearest_code_xla(x, codebook, cb_sq)
+    assert impl == "pallas"
+    return nearest_code_pallas(x, codebook, cb_sq)
