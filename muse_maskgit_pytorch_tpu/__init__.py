@@ -1,0 +1,35 @@
+"""muse_maskgit_pytorch_tpu — TPU-native Muse / MaskGit text-to-image.
+
+Public API mirrors the reference package exports
+(`/root/reference/muse_maskgit_pytorch/__init__.py:1-4`): `VQGanVAE`,
+`Transformer`, `MaskGit`, `Muse`, `MaskGitTransformer`, `TokenCritic`,
+`VQGanVAETrainer` — plus the framework-native extras (`SelfCritic`, `LFQ`,
+`VectorQuantizeEMA`, `MaskGitTrainer`, sharding helpers).
+"""
+
+from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+from muse_maskgit_pytorch_tpu.models.transformer import (
+    Transformer,
+    MaskGitTransformer,
+    TokenCritic,
+    SelfCritic,
+)
+from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
+from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA
+from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer, MaskGitTrainer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "VQGanVAE",
+    "Transformer",
+    "MaskGitTransformer",
+    "TokenCritic",
+    "SelfCritic",
+    "MaskGit",
+    "Muse",
+    "LFQ",
+    "VectorQuantizeEMA",
+    "VQGanVAETrainer",
+    "MaskGitTrainer",
+]

@@ -1,0 +1,570 @@
+"""MaskGit: masked-token training objective + iterative parallel decoding,
+and the Muse base→super-res cascade.
+
+TPU-native rebuild of `/root/reference/muse_maskgit_pytorch/
+muse_maskgit_pytorch.py:427-791`. The key structural change: the reference's
+18-step decode loop is host python with a device sync every step
+(`.item()` at :559, tqdm at :556); here the ENTIRE loop — cosine mask
+schedule, confidence-based remasking, CFG doubled-batch forward, top-k
+filter, annealed-temperature gumbel sampling, critic scoring — is ONE
+`lax.scan` inside ONE jitted function (BASELINE.json north star). Dynamic-k
+operations become static-shape rank thresholding (`mask_by_topk_scores`), and
+all randomness is explicit PRNG keys.
+
+Reference bugs fixed (SURVEY.md §2.4):
+  * B1: negative prompting works (`Transformer.forward_with_neg_prompt`);
+  * B3: super-res auto-conditioning actually feeds the downsampled image
+    through `cond_vae` during training (the reference computed the resize at
+    :649-650 and dropped it on the floor);
+  * B4: the cascade clamps the base stage's decoder output to [0, 1] before
+    conditioning the super-res stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.models.transformer import (
+    MaskGitTransformer,
+    SelfCritic,
+    TokenCritic,
+)
+from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
+from muse_maskgit_pytorch_tpu.utils.sampling import (
+    cosine_schedule,
+    get_mask_subset_prob,
+    gumbel_sample,
+    mask_by_topk_scores,
+    batch_random_mask,
+    top_k,
+)
+
+Array = jax.Array
+
+
+class MaskGit(nnx.Module):
+    """Reference muse_maskgit_pytorch.py:427-741."""
+
+    def __init__(
+        self,
+        image_size: int,
+        transformer: MaskGitTransformer,
+        noise_schedule: Callable = cosine_schedule,
+        token_critic: Optional[TokenCritic] = None,
+        self_token_critic: bool = False,
+        vae: Optional[VQGanVAE] = None,
+        cond_vae: Optional[VQGanVAE] = None,
+        cond_image_size: Optional[int] = None,
+        cond_drop_prob: float = 0.5,
+        self_cond_prob: float = 0.9,
+        no_mask_token_prob: float = 0.0,
+        critic_loss_weight: float = 1.0,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        # frozen eval copy of the tokenizer (reference :445)
+        self.vae = nnx.data(vae.copy_for_eval() if exists(vae) else None)
+        if exists(cond_vae):
+            self.cond_vae = nnx.data(cond_vae.copy_for_eval())
+            self.has_separate_cond_vae = True
+        else:
+            self.cond_vae = nnx.data(self.vae)
+            self.has_separate_cond_vae = False
+
+        assert not (
+            exists(cond_vae) and not exists(cond_image_size)
+        ), "cond_image_size must be specified if conditioning"
+
+        self.image_size = image_size
+        self.cond_image_size = cond_image_size
+        self.resize_image_for_cond_image = exists(cond_image_size)
+
+        self.cond_drop_prob = cond_drop_prob
+
+        self.transformer = transformer
+        self.self_cond = transformer.self_cond
+        if exists(self.vae):
+            assert (
+                self.vae.codebook_size
+                == self.cond_vae.codebook_size
+                == transformer.num_tokens
+            ), "transformer num_tokens must equal the vae codebook size"
+
+        self.mask_id = transformer.mask_id
+        self.noise_schedule = noise_schedule
+
+        assert not (self_token_critic and exists(token_critic))
+        self.token_critic = nnx.data(token_critic)
+        if self_token_critic:
+            self.token_critic = SelfCritic(transformer, rngs=default(rngs, lambda: nnx.Rngs(0)))
+        self.critic_loss_weight = critic_loss_weight
+
+        self.self_cond_prob = self_cond_prob
+        # fraction of [mask]-able tokens kept unmasked so the transformer
+        # learns embeddings for unmasked positions too (BERT-style;
+        # reference :478-480)
+        self.no_mask_token_prob = no_mask_token_prob
+
+    # -- persistence (reference :482-489; embeds the frozen VAE copy) --------
+
+    def save(self, path):
+        from muse_maskgit_pytorch_tpu.utils.checkpoint import save_module
+
+        save_module(self, path)
+
+    def load(self, path):
+        from muse_maskgit_pytorch_tpu.utils.checkpoint import load_module
+
+        load_module(self, path)
+
+    # -- generation (reference :491-621) --------------------------------------
+
+    def generate(
+        self,
+        texts: Optional[Union[str, List[str]]] = None,
+        rng: Optional[Array] = None,
+        *,
+        text_embeds: Optional[Array] = None,
+        text_mask: Optional[Array] = None,
+        negative_texts: Optional[List[str]] = None,
+        neg_text_embeds: Optional[Array] = None,
+        cond_images: Optional[Array] = None,
+        fmap_size: Optional[int] = None,
+        temperature: float = 1.0,
+        topk_filter_thres: float = 0.9,
+        can_remask_prev_masked: bool = False,
+        force_not_use_token_critic: bool = False,
+        timesteps: int = 18,  # ideal number of steps is 18 (maskgit paper)
+        cond_scale: float = 3.0,
+        critic_noise_scale: float = 1.0,
+        return_ids: bool = False,
+        attn_impl: str = "auto",
+    ) -> Array:
+        """Text -> images via iterative parallel decode, fully jitted."""
+        rng = default(rng, lambda: jax.random.PRNGKey(0))
+        fmap_size = default(
+            fmap_size,
+            lambda: self.vae.get_encoded_fmap_size(self.image_size),
+        )
+
+        if isinstance(texts, str):
+            texts = [texts]
+        if text_embeds is None:
+            assert texts is not None
+            text_embeds = self.transformer.encode_text(texts)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+
+        if exists(negative_texts) and neg_text_embeds is None:
+            assert len(negative_texts) == text_embeds.shape[0]
+            neg_text_embeds = self.transformer.encode_text(negative_texts)
+
+        cond_ids = None
+        if self.resize_image_for_cond_image:
+            assert exists(
+                cond_images
+            ), "conditioning image must be passed in for super res maskgit"
+            _, cond_ids, _ = self.cond_vae.encode(cond_images, train=False)
+
+        if not can_remask_prev_masked:
+            # reference :608-611: remasking non-masked positions is only
+            # meaningful when trained with no_mask_token_prob > 0
+            pass
+        else:
+            assert self.no_mask_token_prob > 0.0
+
+        use_token_critic = exists(self.token_critic) and not force_not_use_token_critic
+
+        graphdef, state = nnx.split(self)
+        ids, images = _generate_jit(
+            graphdef,
+            state,
+            text_embeds,
+            text_mask,
+            neg_text_embeds,
+            cond_ids,
+            rng,
+            fmap_size=fmap_size,
+            temperature=temperature,
+            topk_filter_thres=topk_filter_thres,
+            can_remask_prev_masked=can_remask_prev_masked,
+            use_token_critic=use_token_critic,
+            timesteps=timesteps,
+            cond_scale=cond_scale,
+            critic_noise_scale=critic_noise_scale,
+            attn_impl=attn_impl,
+        )
+        if return_ids or not exists(self.vae):
+            return ids
+        return images
+
+    # -- training objective (reference :623-741) -------------------------------
+
+    def __call__(
+        self,
+        images_or_ids: Array,
+        rng: Array,
+        ignore_index: int = -1,
+        cond_images: Optional[Array] = None,
+        cond_token_ids: Optional[Array] = None,
+        texts: Optional[List[str]] = None,
+        text_embeds: Optional[Array] = None,
+        text_mask: Optional[Array] = None,
+        cond_drop_prob: Optional[float] = None,
+        train_only_generator: bool = False,
+        sample_temperature: Optional[float] = None,
+        attn_impl: str = "auto",
+    ) -> Array:
+        # tokenize if needed
+        if jnp.issubdtype(images_or_ids.dtype, jnp.floating):
+            assert exists(self.vae), "vqgan vae must be passed in to train from raw images"
+            assert images_or_ids.shape[1] == images_or_ids.shape[2] == self.image_size
+            _, ids, _ = self.vae.encode(
+                jax.lax.stop_gradient(images_or_ids), train=False
+            )
+            images = images_or_ids
+        else:
+            assert (
+                not self.resize_image_for_cond_image or exists(cond_images) or exists(cond_token_ids)
+            ), "with auto-resize conditioning, pass raw images (or explicit cond images/ids)"
+            ids = images_or_ids
+            images = None
+
+        # super-res auto-conditioning (B3 fix: the reference computed this
+        # resize and never used it, :649-650)
+        if (
+            self.resize_image_for_cond_image
+            and not exists(cond_images)
+            and not exists(cond_token_ids)
+        ):
+            assert images is not None
+            cond_images = jax.image.resize(
+                images,
+                (images.shape[0], self.cond_image_size, self.cond_image_size, images.shape[-1]),
+                method="nearest",
+            )
+
+        ids = ids.reshape(ids.shape[0], -1)
+        batch, seq_len = ids.shape
+        cond_drop_prob = default(cond_drop_prob, self.cond_drop_prob)
+
+        assert not (exists(cond_images) and exists(cond_token_ids))
+        if exists(cond_images):
+            assert exists(self.cond_vae)
+            assert cond_images.shape[1] == cond_images.shape[2] == self.cond_image_size
+            _, cond_token_ids, _ = self.cond_vae.encode(
+                jax.lax.stop_gradient(cond_images), train=False
+            )
+
+        (
+            k_time,
+            k_mask,
+            k_nomask,
+            k_drop,
+            k_selfcond_coin,
+            k_sample_t,
+            k_sample,
+        ) = jax.random.split(rng, 7)
+
+        # prepare mask (reference :669-686)
+        rand_time = jax.random.uniform(k_time, (batch,))
+        rand_mask_probs = self.noise_schedule(rand_time)
+        num_token_masked = jnp.clip(
+            jnp.round(seq_len * rand_mask_probs), min=1
+        ).astype(jnp.int32)
+
+        mask = batch_random_mask(k_mask, batch, seq_len, num_token_masked)
+
+        labels = jnp.where(mask, ids, ignore_index)
+
+        if self.no_mask_token_prob > 0.0:
+            no_mask_mask = get_mask_subset_prob(k_nomask, mask, self.no_mask_token_prob)
+            mask = mask & ~no_mask_mask
+
+        x = jnp.where(mask, self.mask_id, ids)
+
+        # text embeddings (frozen T5)
+        if exists(texts):
+            text_embeds = self.transformer.encode_text(texts)
+        assert exists(text_embeds)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        text_embeds = jax.lax.stop_gradient(text_embeds)
+
+        # self conditioning (reference :694-708; the python `random()` coin
+        # becomes a traced bernoulli + lax.cond)
+        self_cond_embed = None
+        if self.transformer.self_cond:
+            def with_self_cond(_):
+                _, embed = self.transformer(
+                    x,
+                    text_embeds=text_embeds,
+                    text_mask=text_mask,
+                    conditioning_token_ids=cond_token_ids,
+                    cond_drop_prob=0.0,
+                    return_embed=True,
+                    attn_impl=attn_impl,
+                )
+                return jax.lax.stop_gradient(embed)
+
+            def without_self_cond(_):
+                return jnp.zeros(
+                    (batch, seq_len, self.transformer.dim), self.transformer.dtype
+                )
+
+            coin = jax.random.uniform(k_selfcond_coin, ()) < self.self_cond_prob
+            self_cond_embed = jax.lax.cond(coin, with_self_cond, without_self_cond, None)
+
+        # masked-token cross entropy (reference :710-721)
+        ce_loss, logits = self.transformer(
+            x,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            self_cond_embed=self_cond_embed,
+            conditioning_token_ids=cond_token_ids,
+            labels=labels,
+            cond_drop_prob=cond_drop_prob,
+            ignore_index=ignore_index,
+            return_logits=True,
+            rng=k_drop,
+            attn_impl=attn_impl,
+        )
+
+        if not exists(self.token_critic) or train_only_generator:
+            return ce_loss
+
+        # token critic BCE (reference :723-741)
+        temp = default(sample_temperature, lambda: jax.random.uniform(k_sample_t, ()))
+        sampled_ids = gumbel_sample(k_sample, logits, temperature=temp)
+
+        critic_input = jnp.where(mask, sampled_ids, x)
+        critic_labels = (ids != critic_input).astype(jnp.float32)
+
+        bce_loss = self.token_critic(
+            critic_input,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            conditioning_token_ids=cond_token_ids,
+            labels=critic_labels,
+            cond_drop_prob=cond_drop_prob,
+            rng=k_drop,
+            attn_impl=attn_impl,
+        )
+        return ce_loss + self.critic_loss_weight * bce_loss
+
+
+# ---------------------------------------------------------------------------
+# the jitted decode loop
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "graphdef",
+        "fmap_size",
+        "temperature",
+        "topk_filter_thres",
+        "can_remask_prev_masked",
+        "use_token_critic",
+        "timesteps",
+        "cond_scale",
+        "critic_noise_scale",
+        "attn_impl",
+    ),
+)
+def _generate_jit(
+    graphdef,
+    state,
+    text_embeds,
+    text_mask,
+    neg_text_embeds,
+    cond_ids,
+    rng,
+    *,
+    fmap_size,
+    temperature,
+    topk_filter_thres,
+    can_remask_prev_masked,
+    use_token_critic,
+    timesteps,
+    cond_scale,
+    critic_noise_scale,
+    attn_impl,
+):
+    model: MaskGit = nnx.merge(graphdef, state)
+    transformer = model.transformer
+    mask_id = model.mask_id
+
+    batch = text_embeds.shape[0]
+    seq_len = fmap_size * fmap_size
+
+    if exists(neg_text_embeds):
+        demask_fn = functools.partial(
+            transformer.forward_with_neg_prompt, neg_text_embeds=neg_text_embeds
+        )
+    else:
+        demask_fn = transformer.forward_with_cond_scale
+
+    if use_token_critic:
+        if exists(neg_text_embeds):
+            critic_fn = functools.partial(
+                model.token_critic.forward_with_neg_prompt,
+                neg_text_embeds=neg_text_embeds,
+            )
+        else:
+            critic_fn = model.token_critic.forward_with_cond_scale
+
+    ids0 = jnp.full((batch, seq_len), mask_id, jnp.int32)
+    scores0 = jnp.zeros((batch, seq_len), jnp.float32)
+    self_cond0 = jnp.zeros((batch, seq_len, transformer.dim), transformer.dtype)
+
+    step_keys = jax.random.split(rng, timesteps)
+    # reference :556-559: timestep = linspace(0, 1, T), countdown T-1..0
+    ts = jnp.linspace(0.0, 1.0, timesteps)
+    steps_until_x0 = jnp.arange(timesteps - 1, -1, -1)
+
+    def step(carry, xs):
+        ids, scores, self_cond_embed = carry
+        t, steps_left, key = xs
+        k_gumbel, k_critic_noise = jax.random.split(key)
+
+        rand_mask_prob = model.noise_schedule(t)
+        # reference :559: max(int(p * seq_len), 1) — int() truncates
+        num_token_masked = jnp.maximum(
+            jnp.floor(rand_mask_prob * seq_len), 1
+        ).astype(jnp.int32)
+        num_token_masked = jnp.full((batch,), num_token_masked)
+
+        # remask the least-confident (highest-score) positions (:561-563),
+        # via static-shape rank thresholding instead of dynamic-k topk
+        remask = mask_by_topk_scores(scores, num_token_masked)
+        ids = jnp.where(remask, mask_id, ids)
+
+        logits, embed = demask_fn(
+            ids,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
+            self_cond_embed=self_cond_embed if transformer.self_cond else None,
+            conditioning_token_ids=cond_ids,
+            cond_scale=cond_scale,
+            return_embed=True,
+            attn_impl=attn_impl,
+        )
+        new_self_cond = (
+            embed.astype(self_cond_embed.dtype)
+            if transformer.self_cond
+            else self_cond_embed
+        )
+
+        filtered_logits = top_k(logits, topk_filter_thres)
+        # temperature annealed to zero (:578)
+        temp = temperature * (steps_left.astype(jnp.float32) / timesteps)
+        pred_ids = gumbel_sample(k_gumbel, filtered_logits, temperature=temp)
+
+        is_mask = ids == mask_id
+        ids = jnp.where(is_mask, pred_ids, ids)
+
+        if use_token_critic:
+            critic_logits = critic_fn(
+                ids,
+                text_embeds=text_embeds,
+                text_mask=text_mask,
+                conditioning_token_ids=cond_ids,
+                cond_scale=cond_scale,
+            )
+            new_scores = critic_logits[..., 0]
+            noise = (
+                (jax.random.uniform(k_critic_noise, new_scores.shape) - 0.5)
+                * critic_noise_scale
+                * (steps_left.astype(jnp.float32) / timesteps)
+            )
+            new_scores = new_scores + noise
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
+            new_scores = 1.0 - chosen
+            if not can_remask_prev_masked:
+                new_scores = jnp.where(is_mask, new_scores, -1e5)
+
+        return (ids, new_scores, new_self_cond), None
+
+    (ids, _, _), _ = jax.lax.scan(
+        step,
+        (ids0, scores0, self_cond0),
+        (ts, steps_until_x0, step_keys),
+    )
+
+    ids = ids.reshape(batch, fmap_size, fmap_size)
+    if exists(model.vae):
+        images = model.vae.decode_from_ids(ids)
+    else:
+        images = jnp.zeros((batch, 1, 1, 1))
+    return ids, images
+
+
+# ---------------------------------------------------------------------------
+# Muse cascade (reference :745-791)
+# ---------------------------------------------------------------------------
+
+
+class Muse(nnx.Module):
+    """base 256px MaskGit -> super-res 512px MaskGit -> (optionally) PIL."""
+
+    def __init__(self, base: MaskGit, superres: MaskGit):
+        self.base_maskgit = base
+        assert superres.resize_image_for_cond_image
+        self.superres_maskgit = superres
+
+    def __call__(
+        self,
+        texts: List[str],
+        rng: Optional[Array] = None,
+        cond_scale: float = 3.0,
+        temperature: float = 1.0,
+        timesteps: int = 18,
+        superres_timesteps: Optional[int] = None,
+        return_lowres: bool = False,
+        return_pil_images: bool = True,
+        attn_impl: str = "auto",
+    ):
+        rng = default(rng, lambda: jax.random.PRNGKey(0))
+        k_base, k_sr = jax.random.split(rng)
+
+        lowres_image = self.base_maskgit.generate(
+            texts=texts,
+            rng=k_base,
+            cond_scale=cond_scale,
+            temperature=temperature,
+            timesteps=timesteps,
+            attn_impl=attn_impl,
+        )
+        # B4 fix: clamp decoder output before it conditions the next stage
+        lowres_image = jnp.clip(lowres_image, 0.0, 1.0)
+
+        superres_image = self.superres_maskgit.generate(
+            texts=texts,
+            rng=k_sr,
+            cond_scale=cond_scale,
+            cond_images=lowres_image,
+            temperature=temperature,
+            timesteps=default(superres_timesteps, timesteps),
+            attn_impl=attn_impl,
+        )
+        superres_image = jnp.clip(superres_image, 0.0, 1.0)
+
+        if return_pil_images:
+            from muse_maskgit_pytorch_tpu.training.data import to_pil_images
+
+            lowres_image = to_pil_images(lowres_image)
+            superres_image = to_pil_images(superres_image)
+
+        if not return_lowres:
+            return superres_image
+        return superres_image, lowres_image

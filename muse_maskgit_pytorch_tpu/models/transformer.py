@@ -1,0 +1,515 @@
+"""MaskGit transformer backbone + task heads + classifier-free guidance.
+
+TPU-native rebuild of `/root/reference/muse_maskgit_pytorch/
+muse_maskgit_pytorch.py:63-386`:
+
+  * bias-free LayerNorm (:63-70), GEGLU FeedForward with inner dim
+    `dim * mult * 2/3` (:79-89);
+  * Attention with one learned null-KV pair per head (so CFG-dropped context
+    still has something to attend to, :116,145-149), qk l2-norm with learned
+    per-dim scales and fixed softmax scale 8 (:121-122,151-153), running on
+    this framework's Pallas flash kernel (`ops/attention.py`);
+  * `Transformer` task head: token + learned positional embeddings, text
+    projection, optional self-conditioning, CE/BCE losses (:199-348);
+  * classifier-free guidance: unlike the reference's two sequential forwards
+    (:240-259), `forward_with_cond_scale` folds the cond and null passes into
+    ONE doubled-batch forward — on TPU this keeps the MXU fed and halves the
+    number of kernel launches in the decode loop;
+  * `forward_with_neg_prompt` is the reference's broken negative prompting
+    (:261-277 references undefined variables — SURVEY.md §2.4 B1) built
+    working: the "null" pass is replaced by a negative-text pass;
+  * `MaskGitTransformer` / `TokenCritic` / `SelfCritic` specializations
+    (:352-386).
+
+All randomness (CFG context dropout) uses explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.ops.attention import attend
+from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
+
+Array = jax.Array
+
+
+def l2norm(t: Array, eps: float = 1e-12) -> Array:
+    return t * jax.lax.rsqrt(jnp.sum(jnp.square(t), axis=-1, keepdims=True) + eps)
+
+
+class LayerNorm(nnx.Module):
+    """Gamma-only LayerNorm (reference muse_maskgit_pytorch.py:63-70)."""
+
+    def __init__(self, dim: int, *, rngs: nnx.Rngs):
+        self.gamma = nnx.Param(jnp.ones((dim,)))
+
+    def __call__(self, x: Array) -> Array:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        normed = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (normed * self.gamma.value).astype(x.dtype)
+
+
+class FeedForward(nnx.Module):
+    """LN -> Linear -> GEGLU -> LN -> Linear (reference :72-89)."""
+
+    def __init__(self, dim: int, mult: float = 4, *, rngs: nnx.Rngs):
+        inner_dim = int(dim * mult * 2 / 3)
+        self.norm = LayerNorm(dim, rngs=rngs)
+        self.proj_in = nnx.Linear(dim, inner_dim * 2, use_bias=False, rngs=rngs)
+        self.norm_inner = LayerNorm(inner_dim, rngs=rngs)
+        self.proj_out = nnx.Linear(inner_dim, dim, use_bias=False, rngs=rngs)
+
+    def __call__(self, x: Array) -> Array:
+        x = self.norm(x)
+        x, gate = jnp.split(self.proj_in(x), 2, axis=-1)
+        x = gate * jax.nn.gelu(x)  # GEGLU
+        x = self.norm_inner(x)
+        return self.proj_out(x)
+
+
+class Attention(nnx.Module):
+    """qk-l2norm attention with null KV (reference :91-162)."""
+
+    def __init__(
+        self,
+        dim: int,
+        dim_head: int = 64,
+        heads: int = 8,
+        cross_attend: bool = False,
+        scale: float = 8.0,
+        flash: bool = True,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.scale = scale
+        self.heads = heads
+        self.dim_head = dim_head
+        self.cross_attend = cross_attend
+        self.flash = flash
+        inner_dim = dim_head * heads
+
+        self.norm = LayerNorm(dim, rngs=rngs)
+        self.null_kv = nnx.Param(
+            jax.random.normal(rngs.params(), (2, heads, 1, dim_head))
+        )
+        self.to_q = nnx.Linear(dim, inner_dim, use_bias=False, rngs=rngs)
+        self.to_kv = nnx.Linear(dim, inner_dim * 2, use_bias=False, rngs=rngs)
+        self.q_scale = nnx.Param(jnp.ones((dim_head,)))
+        self.k_scale = nnx.Param(jnp.ones((dim_head,)))
+        self.to_out = nnx.Linear(inner_dim, dim, use_bias=False, rngs=rngs)
+
+    def __call__(
+        self,
+        x: Array,
+        context: Optional[Array] = None,
+        context_mask: Optional[Array] = None,
+        impl: str = "auto",
+    ) -> Array:
+        assert not (exists(context) ^ self.cross_attend)
+        b, n, _ = x.shape
+        h, d = self.heads, self.dim_head
+
+        x = self.norm(x)
+        kv_input = context if self.cross_attend else x
+
+        q = self.to_q(x).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        kv = self.to_kv(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+        m = kv_input.shape[1]
+        k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+
+        nk, nv = self.null_kv.value.astype(k.dtype)
+        nk = jnp.broadcast_to(nk, (b, h, 1, d))
+        nv = jnp.broadcast_to(nv, (b, h, 1, d))
+        k = jnp.concatenate([nk, k], axis=2)
+        v = jnp.concatenate([nv, v], axis=2)
+
+        q = l2norm(q) * self.q_scale.value.astype(q.dtype)
+        k = l2norm(k) * self.k_scale.value.astype(k.dtype)
+
+        mask = None
+        if exists(context_mask):
+            # null-KV position is always attendable (reference :155-157)
+            mask = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
+
+        if impl == "auto":
+            # Pallas kernel on TPU; XLA attention elsewhere (the interpret-mode
+            # Pallas path is exercised directly by the kernel parity tests)
+            impl = (
+                "flash" if (self.flash and jax.default_backend() == "tpu") else "xla"
+            )
+        out = attend(q, k, v, mask=mask, scale=self.scale, impl=impl)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out)
+
+
+class TransformerBlocks(nnx.Module):
+    """depth x (self-attn -> cross-attn -> FF), final LN (reference :164-195)."""
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        depth: int,
+        dim_head: int = 64,
+        heads: int = 8,
+        ff_mult: float = 4,
+        flash: bool = True,
+        rngs: nnx.Rngs,
+    ):
+        layers = []
+        for _ in range(depth):
+            layers.append(
+                nnx.List(
+                    [
+                        Attention(dim, dim_head=dim_head, heads=heads, flash=flash, rngs=rngs),
+                        Attention(
+                            dim,
+                            dim_head=dim_head,
+                            heads=heads,
+                            cross_attend=True,
+                            flash=flash,
+                            rngs=rngs,
+                        ),
+                        FeedForward(dim, mult=ff_mult, rngs=rngs),
+                    ]
+                )
+            )
+        self.layers = nnx.List(layers)
+        self.norm = LayerNorm(dim, rngs=rngs)
+
+    def __call__(
+        self,
+        x: Array,
+        context: Optional[Array] = None,
+        context_mask: Optional[Array] = None,
+        impl: str = "auto",
+    ) -> Array:
+        for attn, cross_attn, ff in self.layers:
+            x = attn(x, impl=impl) + x
+            x = cross_attn(x, context=context, context_mask=context_mask, impl=impl) + x
+            x = ff(x) + x
+        return self.norm(x)
+
+
+class Transformer(nnx.Module):
+    """Token transformer with T5 text conditioning (reference :199-348)."""
+
+    def __init__(
+        self,
+        *,
+        num_tokens: int,
+        dim: int,
+        seq_len: int,
+        dim_out: Optional[int] = None,
+        t5_name: Optional[str] = None,
+        text_embed_dim: Optional[int] = None,
+        self_cond: bool = False,
+        add_mask_id: bool = False,
+        dtype=jnp.float32,
+        rngs: nnx.Rngs,
+        **kwargs,
+    ):
+        from muse_maskgit_pytorch_tpu.models.t5 import DEFAULT_T5_NAME, get_encoded_dim
+
+        t5_name = default(t5_name, DEFAULT_T5_NAME)
+
+        self.dim = dim
+        self.mask_id = num_tokens if add_mask_id else None
+        self.num_tokens = num_tokens
+        self.seq_len = seq_len
+        self.dtype = dtype
+        self.t5_name = t5_name
+
+        self.token_emb = nnx.Embed(num_tokens + int(add_mask_id), dim, rngs=rngs)
+        self.pos_emb = nnx.Embed(seq_len, dim, rngs=rngs)
+
+        self.transformer_blocks = TransformerBlocks(dim=dim, rngs=rngs, **kwargs)
+        self.norm = LayerNorm(dim, rngs=rngs)
+
+        self.dim_out = default(dim_out, num_tokens)
+        self.to_logits = nnx.Linear(dim, self.dim_out, use_bias=False, rngs=rngs)
+
+        text_embed_dim = default(text_embed_dim, lambda: get_encoded_dim(t5_name))
+        self.text_embed_dim = text_embed_dim
+        self.text_embed_proj = (
+            nnx.Linear(text_embed_dim, dim, use_bias=False, rngs=rngs)
+            if text_embed_dim != dim
+            else None
+        )
+
+        self.self_cond = self_cond
+        self.self_cond_to_init_embed = FeedForward(dim, rngs=rngs)
+
+    # -- text encoding (frozen T5, reference :229-233) -----------------------
+
+    def encode_text(self, texts) -> Array:
+        from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text
+
+        return t5_encode_text(texts, name=self.t5_name)
+
+    # -- CFG wrappers ---------------------------------------------------------
+
+    def forward_with_cond_scale(
+        self,
+        x: Array,
+        *,
+        text_embeds: Array,
+        cond_scale: float = 3.0,
+        return_embed: bool = False,
+        text_mask: Optional[Array] = None,
+        conditioning_token_ids: Optional[Array] = None,
+        self_cond_embed: Optional[Array] = None,
+        attn_impl: str = "auto",
+    ):
+        """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
+        forward instead of the reference's two sequential passes (:240-259).
+        The null half zeroes only the TEXT mask; conditioning image tokens
+        stay attendable, matching the reference's order of operations
+        (:308-318)."""
+        if cond_scale == 1:
+            return self(
+                x,
+                text_embeds=text_embeds,
+                text_mask=text_mask,
+                conditioning_token_ids=conditioning_token_ids,
+                self_cond_embed=self_cond_embed,
+                return_embed=return_embed,
+                attn_impl=attn_impl,
+            )
+
+        b = x.shape[0]
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+
+        def dup(t):
+            return None if t is None else jnp.concatenate([t, t], axis=0)
+
+        logits2, embed2 = self(
+            dup(x),
+            text_embeds=dup(text_embeds),
+            text_mask=jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0),
+            conditioning_token_ids=dup(conditioning_token_ids),
+            self_cond_embed=dup(self_cond_embed),
+            return_embed=True,
+            attn_impl=attn_impl,
+        )
+        cond_logits, null_logits = logits2[:b], logits2[b:]
+        scaled_logits = null_logits + (cond_logits - null_logits) * cond_scale
+        if return_embed:
+            return scaled_logits, embed2[:b]
+        return scaled_logits
+
+    def forward_with_neg_prompt(
+        self,
+        x: Array,
+        *,
+        text_embeds: Array,
+        neg_text_embeds: Array,
+        cond_scale: float = 3.0,
+        return_embed: bool = False,
+        text_mask: Optional[Array] = None,
+        neg_text_mask: Optional[Array] = None,
+        conditioning_token_ids: Optional[Array] = None,
+        self_cond_embed: Optional[Array] = None,
+        attn_impl: str = "auto",
+    ):
+        """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
+        version raises at runtime — B1; built working here.)"""
+        b = x.shape[0]
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        if neg_text_mask is None:
+            neg_text_mask = jnp.any(neg_text_embeds != 0, axis=-1)
+
+        # pad text lengths to match so the two halves can batch together
+        lp, ln = text_embeds.shape[1], neg_text_embeds.shape[1]
+        L = max(lp, ln)
+
+        def pad_to(t, mask, L):
+            pad = L - t.shape[1]
+            if pad == 0:
+                return t, mask
+            return (
+                jnp.pad(t, ((0, 0), (0, pad), (0, 0))),
+                jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False),
+            )
+
+        text_embeds, text_mask = pad_to(text_embeds, text_mask, L)
+        neg_text_embeds, neg_text_mask = pad_to(neg_text_embeds, neg_text_mask, L)
+
+        def dup(t):
+            return None if t is None else jnp.concatenate([t, t], axis=0)
+
+        logits2, embed2 = self(
+            dup(x),
+            text_embeds=jnp.concatenate([text_embeds, neg_text_embeds], axis=0),
+            text_mask=jnp.concatenate([text_mask, neg_text_mask], axis=0),
+            conditioning_token_ids=dup(conditioning_token_ids),
+            self_cond_embed=dup(self_cond_embed),
+            return_embed=True,
+            attn_impl=attn_impl,
+        )
+        pos_logits, neg_logits = logits2[:b], logits2[b:]
+        scaled_logits = neg_logits + (pos_logits - neg_logits) * cond_scale
+        if return_embed:
+            return scaled_logits, embed2[:b]
+        return scaled_logits
+
+    # -- main forward (reference :279-348) ------------------------------------
+
+    def __call__(
+        self,
+        x: Array,
+        return_embed: bool = False,
+        return_logits: bool = False,
+        labels: Optional[Array] = None,
+        ignore_index: int = 0,
+        self_cond_embed: Optional[Array] = None,
+        cond_drop_prob: float = 0.0,
+        conditioning_token_ids: Optional[Array] = None,
+        texts=None,
+        text_embeds: Optional[Array] = None,
+        text_mask: Optional[Array] = None,
+        rng: Optional[Array] = None,
+        attn_impl: str = "auto",
+    ):
+        b, n = x.shape
+        assert n <= self.seq_len
+
+        assert exists(texts) ^ exists(text_embeds)
+        if exists(texts):
+            text_embeds = self.encode_text(texts)
+
+        context = (
+            self.text_embed_proj(text_embeds)
+            if exists(self.text_embed_proj)
+            else text_embeds
+        )
+        context = context.astype(self.dtype)
+
+        # padding positions carry zeroed embeddings (t5.py:92-93 contract);
+        # an explicit mask can also be passed (TPU-first: static shapes)
+        if text_mask is None:
+            context_mask = jnp.any(text_embeds != 0, axis=-1)
+        else:
+            context_mask = text_mask
+
+        # classifier-free guidance dropout (reference :306-310)
+        if cond_drop_prob > 0:
+            assert rng is not None, "cond_drop_prob > 0 requires an rng key"
+            keep = jax.random.uniform(rng, (b, 1)) >= cond_drop_prob
+            context_mask = context_mask & keep
+
+        # conditioning image token ids join the cross-attn context (:312-318)
+        if exists(conditioning_token_ids):
+            cond_ids = conditioning_token_ids.reshape(b, -1)
+            cond_token_emb = self.token_emb(cond_ids).astype(self.dtype)
+            context = jnp.concatenate([context, cond_token_emb], axis=-2)
+            context_mask = jnp.pad(
+                context_mask, ((0, 0), (0, cond_ids.shape[-1])), constant_values=True
+            )
+
+        # embed tokens
+        h = self.token_emb(x) + self.pos_emb(jnp.arange(n))
+        h = h.astype(self.dtype)
+
+        if self.self_cond:
+            if not exists(self_cond_embed):
+                self_cond_embed = jnp.zeros_like(h)
+            h = h + self.self_cond_to_init_embed(self_cond_embed.astype(self.dtype))
+
+        embed = self.transformer_blocks(
+            h, context=context, context_mask=context_mask, impl=attn_impl
+        )
+
+        logits = self.to_logits(embed).astype(jnp.float32)
+
+        if return_embed:
+            return logits, embed
+
+        if not exists(labels):
+            return logits
+
+        if self.dim_out == 1:
+            # per-token binary "is this token fake" head (critic)
+            loss = sigmoid_bce(logits[..., 0], labels)
+        else:
+            loss = cross_entropy_ignore_index(logits, labels, ignore_index)
+
+        if not return_logits:
+            return loss
+        return loss, logits
+
+
+def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int) -> Array:
+    """Mean CE over positions where labels != ignore_index
+    (torch F.cross_entropy(ignore_index=...) semantics, reference :343)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(valid.sum(), 1)
+    return -(ll * valid).sum() / denom
+
+
+def sigmoid_bce(logits: Array, labels: Array) -> Array:
+    """Mean binary cross-entropy with logits (reference :341)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -jnp.mean(labels * log_p + (1.0 - labels) * log_not_p)
+
+
+# -- specializations (reference :352-386) ------------------------------------
+
+
+class SelfCritic(nnx.Module):
+    """Linear critic head over the generator's own embeddings (SCRIPT
+    paper; reference :352-374)."""
+
+    def __init__(self, net: Transformer, *, rngs: nnx.Rngs):
+        self.net = net
+        self.to_pred = nnx.Linear(net.dim, 1, rngs=rngs)
+
+    def forward_with_cond_scale(self, x, **kwargs):
+        kwargs.pop("return_embed", None)
+        _, embeds = self.net.forward_with_cond_scale(x, return_embed=True, **kwargs)
+        return self.to_pred(embeds)
+
+    def forward_with_neg_prompt(self, x, **kwargs):
+        kwargs.pop("return_embed", None)
+        _, embeds = self.net.forward_with_neg_prompt(x, return_embed=True, **kwargs)
+        return self.to_pred(embeds)
+
+    def __call__(self, x, labels: Optional[Array] = None, **kwargs):
+        kwargs.pop("return_embed", None)
+        _, embeds = self.net(x, return_embed=True, **kwargs)
+        logits = self.to_pred(embeds)
+        if not exists(labels):
+            return logits
+        return sigmoid_bce(logits[..., 0], labels)
+
+
+class MaskGitTransformer(Transformer):
+    """Transformer with a [mask] token id (reference :378-381)."""
+
+    def __init__(self, **kwargs):
+        assert "add_mask_id" not in kwargs
+        super().__init__(add_mask_id=True, **kwargs)
+
+
+class TokenCritic(Transformer):
+    """Transformer scoring per-token realness (reference :383-386)."""
+
+    def __init__(self, **kwargs):
+        assert "dim_out" not in kwargs
+        super().__init__(dim_out=1, **kwargs)

@@ -90,7 +90,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        s = s + bias_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
@@ -140,6 +140,7 @@ def _flash_forward(
         kf = jnp.pad(kf, ((0, 0), (0, m_pad - m), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, m_pad - m), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, m_pad - m)), constant_values=NEG_INF)
+    bias3 = bias.reshape(bias.shape[0], 1, m_pad)
 
     grid = (bh, n_pad // block_q)
 
@@ -152,7 +153,7 @@ def _flash_forward(
             pl.BlockSpec((1, m_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             # bias is per-batch: program i covers batch i // h
-            pl.BlockSpec((1, m_pad), lambda i, j, h=h: (i // h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda i, j, h=h: (i // h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -166,7 +167,7 @@ def _flash_forward(
             transcendentals=bh * n_pad * m_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf, bias)
+    )(qf, kf, vf, bias3)
 
     return out[:, :n, :].reshape(b, h, n, d)
 

@@ -1,0 +1,132 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's HF-Accelerate/DDP distribution
+(`/root/reference/muse_maskgit_pytorch/trainers.py:22,147-159,216-236`):
+instead of wrapping the model in DDP and calling NCCL all-reduce in backward
+(trainers.py:322), we build a `jax.sharding.Mesh` over the slice, shard the
+batch on the `data` axis (and optionally parameters on `tensor`/`fsdp`),
+and let XLA emit the collectives over ICI. `jax.process_index()` plays the
+role of the Accelerate rank predicates (trainers.py:254,282-292).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TENSOR_AXIS = "tensor"
+FSDP_AXIS = "fsdp"
+
+
+def create_mesh(
+    shape: Optional[Dict[str, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh. Default: all devices on a single `data` axis.
+
+    `shape` maps axis name -> size; one axis may be -1 (inferred). Example:
+    `create_mesh({'data': -1, 'tensor': 2})`.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if not shape:
+        shape = {DATA_AXIS: n}
+    names = tuple(shape.keys())
+    sizes = list(shape.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        assert n % known == 0, f"{n} devices not divisible by {known}"
+        sizes[sizes.index(-1)] = n // known
+    assert int(np.prod(sizes)) == n, f"mesh {dict(zip(names, sizes))} != {n} devices"
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place a host batch with its leading dim sharded over `axis`."""
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_main_process() -> bool:
+    """Rank predicate (role of accelerator.is_main_process)."""
+    return jax.process_index() == 0
+
+
+# ---------------------------------------------------------------------------
+# parameter partition rules (tensor parallelism)
+# ---------------------------------------------------------------------------
+
+# Default TP rules for the MaskGit transformer: shard attention heads and the
+# FF inner dim on the `tensor` axis; embeddings/vocab head sharded on the
+# vocab/feature dim. Keys are regexes over '/'-joined state paths.
+DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*to_q/kernel$", P(None, TENSOR_AXIS)),
+    (r".*to_kv/kernel$", P(None, TENSOR_AXIS)),
+    (r".*to_out/kernel$", P(TENSOR_AXIS, None)),
+    (r".*proj_in/kernel$", P(None, TENSOR_AXIS)),
+    (r".*proj_out/kernel$", P(TENSOR_AXIS, None)),
+    (r".*to_logits/kernel$", P(None, TENSOR_AXIS)),
+    (r".*token_emb/embedding$", P(TENSOR_AXIS, None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))
+        parts.append(str(key))
+    return "/".join(parts)
+
+
+def partition_specs_for(tree, rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
+    """Map a pytree of arrays to PartitionSpecs via path-regex rules.
+
+    Unmatched leaves are replicated. Rules whose spec does not divide the
+    leaf shape fall back to replication (small models on big meshes)."""
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def assign(path, leaf):
+        s = _path_str(path)
+        for pat, spec in compiled:
+            if pat.match(s):
+                if len(spec) <= leaf.ndim:
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(assign, tree)
+
+
+def shard_tree(tree, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
+    """Device-put a pytree with rule-derived shardings over `mesh`."""
+    specs = partition_specs_for(tree, rules)
+
+    def put(x, spec):
+        # drop specs that don't divide the dims evenly
+        fixed = []
+        for dim, ax in zip(x.shape, tuple(spec) + (None,) * (x.ndim - len(spec))):
+            if ax is None:
+                fixed.append(None)
+            else:
+                size = mesh.shape[ax] if not isinstance(ax, tuple) else int(
+                    np.prod([mesh.shape[a] for a in ax])
+                )
+                fixed.append(ax if dim % size == 0 else None)
+        return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
+
+    return jax.tree.map(put, tree, specs)

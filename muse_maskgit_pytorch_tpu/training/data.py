@@ -1,0 +1,164 @@
+"""Image dataset + loader + grid utilities.
+
+Replaces the reference's torchvision data stack (`/root/reference/
+muse_maskgit_pytorch/trainers.py:85-113` ImageDataset;
+`torchvision.utils.make_grid/save_image` at trainers.py:16,383-387) with a
+PIL/numpy pipeline feeding NHWC device arrays. A threaded prefetching loader
+stands in for torch's worker-process DataLoader; for token-shard datasets at
+scale see the native C++ loader in `native/` (muse_maskgit_pytorch_tpu.
+training.shard_loader).
+"""
+
+from __future__ import annotations
+
+import random as _random
+import threading
+import queue
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from PIL import Image, ImageFile
+
+# tolerate truncated files (reference trainers.py:26-27)
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+
+class ImageDataset:
+    """Recursive glob of jpg/jpeg/png; transform = RGB -> resize (short side)
+    -> random horizontal flip -> center crop -> float32 [0,1] NHWC.
+    (reference trainers.py:85-113)"""
+
+    def __init__(
+        self,
+        folder,
+        image_size: int,
+        exts: Sequence[str] = ("jpg", "jpeg", "png"),
+        random_flip: bool = True,
+        seed: int = 0,
+    ):
+        self.folder = folder
+        self.image_size = image_size
+        self.paths = [p for ext in exts for p in Path(folder).glob(f"**/*.{ext}")]
+        self.random_flip = random_flip
+        self._rng = _random.Random(seed)
+        print(f"{len(self.paths)} training samples found at {folder}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        img = Image.open(self.paths[index])
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        s = self.image_size
+        # resize: short side to image_size (torchvision T.Resize(int) semantics)
+        w, h = img.size
+        scale = s / min(w, h)
+        img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))), Image.BILINEAR)
+        if self.random_flip and self._rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        # center crop
+        w, h = img.size
+        left, top = (w - s) // 2, (h - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+        return np.asarray(img, np.float32) / 255.0  # (h, w, 3)
+
+
+class DataLoader:
+    """Minimal shuffling batch loader with a background prefetch thread."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        order = list(range(len(self.dataset)))
+        rng = _random.Random(self.seed)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            if self.shuffle:
+                rng.shuffle(order)
+            batch = []
+            for i in order:
+                batch.append(self.dataset[i])
+                if len(batch) == self.batch_size:
+                    q.put(np.stack(batch))
+                    batch = []
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+
+def cycle(dl) -> Iterator:
+    """Infinite loader (reference trainers.py:57-60)."""
+    while True:
+        yield from dl
+
+
+def split_dataset(dataset: ImageDataset, valid_frac: float, seed: int = 42):
+    """Random train/valid split (reference trainers.py:193-200)."""
+    if valid_frac <= 0:
+        return dataset, dataset
+    idx = list(range(len(dataset)))
+    _random.Random(seed).shuffle(idx)
+    n_valid = int(len(idx) * valid_frac)
+    valid_idx, train_idx = idx[:n_valid], idx[n_valid:]
+
+    class _Subset:
+        def __init__(self, ds, indices):
+            self.ds, self.indices = ds, indices
+
+        def __len__(self):
+            return len(self.indices)
+
+        def __getitem__(self, i):
+            return self.ds[self.indices[i]]
+
+    return _Subset(dataset, train_idx), _Subset(dataset, valid_idx)
+
+
+# ---------------------------------------------------------------------------
+# grids / PIL conversion (reference torchvision make_grid/save_image usage)
+# ---------------------------------------------------------------------------
+
+
+def to_pil_images(images) -> List[Image.Image]:
+    """(b, h, w, c) float [0,1] -> list of PIL images."""
+    arr = np.clip(np.asarray(images, np.float32), 0.0, 1.0)
+    arr = (arr * 255).round().astype(np.uint8)
+    return [Image.fromarray(a.squeeze()) for a in arr]
+
+
+def make_grid(images, nrow: int = 2, padding: int = 2, pad_value: float = 0.0) -> np.ndarray:
+    """(n, h, w, c) -> single (H, W, c) grid, torchvision layout."""
+    arr = np.asarray(images, np.float32)
+    n, h, w, c = arr.shape
+    ncol = nrow
+    nrows = -(-n // ncol)
+    H = nrows * (h + padding) + padding
+    W = ncol * (w + padding) + padding
+    grid = np.full((H, W, c), pad_value, np.float32)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y, x = padding + r * (h + padding), padding + col * (w + padding)
+        grid[y : y + h, x : x + w] = arr[i]
+    return grid
+
+
+def save_image(image: np.ndarray, path) -> None:
+    arr = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+    arr = (arr * 255).round().astype(np.uint8)
+    Image.fromarray(arr.squeeze()).save(str(path))

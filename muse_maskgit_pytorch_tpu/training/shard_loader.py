@@ -1,0 +1,136 @@
+"""Python bindings (ctypes) for the native C++ token-shard loader.
+
+See `native/shard_loader.cpp`. The shared library is built on first use with
+g++ (no pybind11 in this toolchain — plain C ABI + ctypes). Includes the
+shard writer used to materialize datasets of pre-tokenized image sequences
+(e.g. VQGanVAE-encoded ids) for large-scale MaskGit training.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+_MAGIC = b"MUSETOK1"
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "shard_loader.cpp"
+_LIB = _REPO_ROOT / "native" / "build" / "libshard_loader.so"
+
+_build_lock = threading.Lock()
+_lib_handle: Optional[ctypes.CDLL] = None
+
+
+def _build_lib() -> Path:
+    _LIB.parent.mkdir(parents=True, exist_ok=True)
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-pthread",
+        str(_SRC),
+        "-o",
+        str(_LIB),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _lib() -> ctypes.CDLL:
+    global _lib_handle
+    with _build_lock:
+        if _lib_handle is None:
+            lib = ctypes.CDLL(str(_build_lib()))
+            lib.msl_open.restype = ctypes.c_void_p
+            lib.msl_open.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_uint64,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.msl_seq_len.restype = ctypes.c_int64
+            lib.msl_seq_len.argtypes = [ctypes.c_void_p]
+            lib.msl_num_seqs.restype = ctypes.c_int64
+            lib.msl_num_seqs.argtypes = [ctypes.c_void_p]
+            lib.msl_batches_per_epoch.restype = ctypes.c_int64
+            lib.msl_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.msl_next_batch.restype = ctypes.c_int
+            lib.msl_next_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.msl_close.restype = None
+            lib.msl_close.argtypes = [ctypes.c_void_p]
+            _lib_handle = lib
+    return _lib_handle
+
+
+def write_shard(path, tokens: np.ndarray) -> None:
+    """tokens: (num_seqs, seq_len) int32 -> binary shard file."""
+    tokens = np.ascontiguousarray(tokens, np.int32)
+    assert tokens.ndim == 2
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(np.int64(tokens.shape[0]).tobytes())
+        f.write(np.int64(tokens.shape[1]).tobytes())
+        f.write(tokens.tobytes())
+
+
+class ShardLoader:
+    """Shuffled, prefetched batches of token sequences from mmap'd shards."""
+
+    def __init__(
+        self,
+        paths: Sequence,
+        batch_size: int,
+        seed: int = 0,
+        num_threads: int = 2,
+        drop_last: bool = True,
+    ):
+        self._lib = _lib()
+        c_paths = (ctypes.c_char_p * len(paths))(
+            *[str(p).encode() for p in paths]
+        )
+        self._h = self._lib.msl_open(
+            c_paths, len(paths), batch_size, seed, num_threads, int(drop_last)
+        )
+        if not self._h:
+            raise ValueError(f"failed to open shards: {list(paths)}")
+        self.batch_size = batch_size
+        self.seq_len = int(self._lib.msl_seq_len(self._h))
+        self.num_seqs = int(self._lib.msl_num_seqs(self._h))
+        self.batches_per_epoch = int(self._lib.msl_batches_per_epoch(self._h))
+        self._buf = np.empty((batch_size, self.seq_len), np.int32)
+
+    def next_batch(self) -> np.ndarray:
+        rows = self._lib.msl_next_batch(
+            self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        if rows == 0:
+            raise StopIteration
+        return self._buf[:rows].copy()
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if self._h:
+            self._lib.msl_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

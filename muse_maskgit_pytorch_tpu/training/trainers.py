@@ -1,0 +1,554 @@
+"""Trainers: VQGanVAETrainer (GAN loop) and MaskGitTrainer.
+
+TPU-native rebuild of `/root/reference/muse_maskgit_pytorch/trainers.py`
+(`VQGanVAETrainer`, :117-415) plus the MaskGit trainer the reference never
+finished (its README Todo admits "hook up accelerate training code for
+maskgit" is open — README.md:235; MaskGit training upstream is a bare
+`loss.backward()` in user code).
+
+Design (SURVEY.md §7): where the reference's step does a device sync per
+micro-batch (`loss.item()`, trainers.py:324,345) and drives two optimizers,
+EMA and grad-accum from host python, here the ENTIRE step — generator
+micro-batch scan, discriminator micro-batch scan, both optax updates,
+gradient clipping, EMA — is ONE jitted function with donated state. Data
+parallelism is a `jax.sharding.Mesh` with the batch sharded on the `data`
+axis; gradient all-reduce is emitted by XLA from the shardings (no
+DDP/NCCL — reference trainers.py:322 equivalent is implicit).
+
+Faithful knobs: lr 3e-4, grad_accum_every, max_grad_norm, EMA
+(beta/after/every), apply_grad_penalty_every, valid split (frac+seed),
+save_results_every / save_model_every, results_folder. One deliberate fix:
+the reference's `apply_grad_penalty_every` knob is dead code (the flag is
+passed to the generator call where it is ignored, trainers.py:315-318, while
+the discriminator call always applies the penalty, vqgan_vae.py:469-486);
+here the knob actually gates the penalty on the discriminator step.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from shutil import rmtree
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh, is_main_process, shard_batch
+from muse_maskgit_pytorch_tpu.training.data import (
+    DataLoader,
+    ImageDataset,
+    cycle,
+    make_grid,
+    save_image,
+    split_dataset,
+)
+from muse_maskgit_pytorch_tpu.training.ema import ema_init, ema_update
+from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+    latest_step,
+    load_train_state,
+    save_train_state,
+)
+from muse_maskgit_pytorch_tpu.utils.helpers import accum_log, default, exists
+
+Array = jax.Array
+
+
+def _make_optimizer(lr: float, max_grad_norm: Optional[float]):
+    chain = []
+    if exists(max_grad_norm):
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adam(lr))
+    return optax.chain(*chain)
+
+
+# param filters: discriminator vs generator vs frozen (VGG)
+_DISCR = nnx.All(nnx.Param, nnx.PathContains("discr"))
+_VGG = nnx.All(nnx.Param, nnx.PathContains("_vgg"))
+_GEN = nnx.Param  # whatever Param is left after the first two filters
+
+
+class VQGanVAETrainer:
+    """GAN training loop for the VQ-GAN VAE (reference trainers.py:117-415)."""
+
+    def __init__(
+        self,
+        vae: VQGanVAE,
+        *,
+        folder,
+        num_train_steps: int,
+        batch_size: int,
+        image_size: int,
+        lr: float = 3e-4,
+        grad_accum_every: int = 1,
+        max_grad_norm: Optional[float] = None,
+        discr_max_grad_norm: Optional[float] = None,
+        save_results_every: int = 100,
+        save_model_every: int = 1000,
+        results_folder: str = "./results",
+        valid_frac: float = 0.05,
+        random_split_seed: int = 42,
+        use_ema: bool = True,
+        ema_beta: float = 0.995,
+        ema_update_after_step: int = 0,
+        ema_update_every: int = 1,
+        apply_grad_penalty_every: int = 4,
+        mesh=None,
+        seed: int = 0,
+        clear_previous_results: Optional[bool] = None,
+        dataset=None,
+    ):
+        self.num_train_steps = num_train_steps
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.grad_accum_every = grad_accum_every
+        self.apply_grad_penalty_every = apply_grad_penalty_every
+        self.save_results_every = save_results_every
+        self.save_model_every = save_model_every
+        self.use_ema = use_ema
+        self.ema_kwargs = dict(
+            beta=ema_beta,
+            update_after_step=ema_update_after_step,
+            update_every=ema_update_every,
+        )
+
+        self.mesh = default(mesh, lambda: create_mesh())
+        self.has_discr = exists(vae.discr)
+
+        # split: discriminator params / frozen vgg / generator params / rest
+        self.graphdef, discr_params, vgg_params, gen_params, rest = nnx.split(
+            vae, _DISCR, _VGG, _GEN, ...
+        )
+
+        self.gen_tx = _make_optimizer(lr, max_grad_norm)
+        self.discr_tx = _make_optimizer(lr, discr_max_grad_norm)
+
+        self.state = dict(
+            gen_params=gen_params,
+            discr_params=discr_params,
+            vgg_params=vgg_params,
+            rest=rest,
+            gen_opt=self.gen_tx.init(gen_params),
+            discr_opt=self.discr_tx.init(discr_params),
+            ema=ema_init(gen_params) if use_ema else None,
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        # dataset + split (reference trainers.py:187-214)
+        ds = default(dataset, lambda: ImageDataset(folder, image_size))
+        self.ds, self.valid_ds = split_dataset(ds, valid_frac, random_split_seed)
+        self.print(
+            f"training with dataset of {len(self.ds)} samples and validating "
+            f"with randomly splitted {len(self.valid_ds)} samples"
+        )
+        micro = batch_size
+        self.dl_iter = cycle(DataLoader(self.ds, micro, shuffle=True, seed=seed))
+        self.valid_dl_iter = cycle(
+            DataLoader(self.valid_ds, micro, shuffle=True, seed=seed)
+        )
+
+        self.results_folder = Path(results_folder)
+        if (
+            self.results_folder.exists()
+            and len(list(self.results_folder.glob("**/*"))) > 0
+            and clear_previous_results
+        ):
+            rmtree(str(self.results_folder))
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+
+        self._train_step = self._build_train_step()
+
+    # -- utilities -----------------------------------------------------------
+
+    def print(self, msg):
+        if is_main_process():
+            print(msg)
+
+    @property
+    def steps(self) -> int:
+        return int(self.state["step"])
+
+    def vae_module(self, use_ema: bool = False) -> VQGanVAE:
+        gen = self.state["ema"] if (use_ema and self.use_ema) else self.state["gen_params"]
+        return nnx.merge(
+            self.graphdef,
+            self.state["discr_params"],
+            self.state["vgg_params"],
+            gen,
+            self.state["rest"],
+        )
+
+    def save(self, path=None):
+        if not is_main_process():
+            return
+        ckpt_dir = default(path, self.results_folder / "checkpoints")
+        save_train_state(ckpt_dir, self.steps, {k: v for k, v in self.state.items()})
+
+    def load(self, path=None, step: Optional[int] = None):
+        ckpt_dir = default(path, self.results_folder / "checkpoints")
+        restored, s = load_train_state(ckpt_dir, step, target=self.state)
+        self.state = restored
+        self.state["step"] = jnp.asarray(s, jnp.int32)
+
+    # -- the jitted step -------------------------------------------------------
+
+    def _build_train_step(self):
+        graphdef = self.graphdef
+        gen_tx, discr_tx = self.gen_tx, self.discr_tx
+        use_ema, ema_kwargs = self.use_ema, self.ema_kwargs
+        has_discr = self.has_discr
+        gp_every = self.apply_grad_penalty_every
+        accum = self.grad_accum_every
+
+        def gen_loss_fn(gen_params, discr_params, vgg_params, rest, img, key):
+            model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
+            loss = model(img, return_loss=True, train=True, rng=key)
+            _, _, _, _, new_rest = nnx.split(model, _DISCR, _VGG, _GEN, ...)
+            return loss, new_rest
+
+        def discr_loss_fn(discr_params, gen_params, vgg_params, rest, img, key, apply_gp):
+            model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
+
+            def with_gp(_):
+                return model(img, return_discr_loss=True, add_gradient_penalty=True,
+                             train=False, rng=key)
+
+            def without_gp(_):
+                return model(img, return_discr_loss=True, add_gradient_penalty=False,
+                             train=False, rng=key)
+
+            return jax.lax.cond(apply_gp, with_gp, without_gp, None)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, gen_imgs, discr_imgs):
+            # gen_imgs/discr_imgs: (accum, B, H, W, C)
+            rng = state["rng"]
+            step = state["step"]
+            rng, *keys = jax.random.split(rng, 2 * accum + 1)
+            gen_keys = jnp.stack(keys[:accum])
+            discr_keys = jnp.stack(keys[accum:])
+
+            # -- generator phase: scan over micro-batches, accumulate grads
+            def gen_micro(carry, xs):
+                g_acc, loss_acc, rest = carry
+                img, key = xs
+                (loss, new_rest), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                    state["gen_params"], state["discr_params"], state["vgg_params"],
+                    rest, img, key,
+                )
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss, new_rest), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state["gen_params"])
+            (g_sum, gen_loss_sum, rest), _ = jax.lax.scan(
+                gen_micro, (zero_g, 0.0, state["rest"]), (gen_imgs, gen_keys)
+            )
+            g_avg = jax.tree.map(lambda g: g / accum, g_sum)
+            updates, gen_opt = gen_tx.update(g_avg, state["gen_opt"], state["gen_params"])
+            gen_params = optax.apply_updates(state["gen_params"], updates)
+
+            logs = {"loss": gen_loss_sum / accum}
+
+            # -- discriminator phase
+            discr_params, discr_opt = state["discr_params"], state["discr_opt"]
+            if has_discr:
+                apply_gp = (step % gp_every) == 0
+
+                def discr_micro(carry, xs):
+                    g_acc, loss_acc = carry
+                    img, key = xs
+                    loss, grads = jax.value_and_grad(discr_loss_fn)(
+                        discr_params, gen_params, state["vgg_params"], rest, img, key, apply_gp
+                    )
+                    return (jax.tree.map(jnp.add, g_acc, grads), loss_acc + loss), None
+
+                zero_d = jax.tree.map(jnp.zeros_like, discr_params)
+                (d_sum, d_loss_sum), _ = jax.lax.scan(
+                    discr_micro, (zero_d, 0.0), (discr_imgs, discr_keys)
+                )
+                d_avg = jax.tree.map(lambda g: g / accum, d_sum)
+                d_updates, discr_opt = discr_tx.update(d_avg, discr_opt, discr_params)
+                discr_params = optax.apply_updates(discr_params, d_updates)
+                logs["discr_loss"] = d_loss_sum / accum
+
+            # -- EMA of the generator (reference trainers.py:358-359)
+            ema = state["ema"]
+            if use_ema:
+                ema = ema_update(ema, gen_params, step, **ema_kwargs)
+
+            new_state = dict(
+                gen_params=gen_params,
+                discr_params=discr_params,
+                vgg_params=state["vgg_params"],
+                rest=rest,
+                gen_opt=gen_opt,
+                discr_opt=discr_opt,
+                ema=ema,
+                step=step + 1,
+                rng=rng,
+            )
+            return new_state, logs
+
+        return train_step
+
+    # -- host loop -------------------------------------------------------------
+
+    def _next_accum_batch(self, it):
+        return np.stack([next(it) for _ in range(self.grad_accum_every)])
+
+    def train_step(self):
+        steps = self.steps
+        gen_imgs = self._next_accum_batch(self.dl_iter)
+        discr_imgs = (
+            self._next_accum_batch(self.dl_iter) if self.has_discr else gen_imgs
+        )
+        with self.mesh:
+            self.state, logs = self._train_step(
+                self.state, jnp.asarray(gen_imgs), jnp.asarray(discr_imgs)
+            )
+        logs = {k: float(v) for k, v in logs.items()}
+
+        if self.has_discr:
+            self.print(
+                f"{steps}: vae loss: {logs['loss']} - discr loss: {logs.get('discr_loss')}"
+            )
+        else:
+            self.print(f"{steps}: vae loss: {logs['loss']}")
+
+        # periodic eval reconstruction grids (reference trainers.py:361-389)
+        if steps % self.save_results_every == 0:
+            models_to_eval = [(self.vae_module(use_ema=False), str(steps))]
+            if self.use_ema:
+                models_to_eval.insert(0, (self.vae_module(use_ema=True), f"{steps}.ema"))
+            valid_data = jnp.asarray(next(self.valid_dl_iter))
+            for model, filename in models_to_eval:
+                recons = model(valid_data, train=False)
+                stacked = np.stack(
+                    [np.asarray(valid_data), np.clip(np.asarray(recons), 0, 1)], axis=1
+                ).reshape(-1, *valid_data.shape[1:])
+                grid = make_grid(stacked, nrow=2)
+                save_image(grid, self.results_folder / f"{filename}.png")
+                logs["reconstructions"] = grid
+            self.print(f"{steps}: saving to {self.results_folder}")
+
+        # periodic checkpoints (reference trainers.py:391-403)
+        if steps % self.save_model_every == 0:
+            self.save()
+            vae = self.vae_module(use_ema=False)
+            vae.save(self.results_folder / f"vae.{steps}.pt")
+            if self.use_ema:
+                ema_vae = self.vae_module(use_ema=True)
+                ema_vae.save(self.results_folder / f"vae.{steps}.ema.pt")
+            self.print(f"{steps}: saving model to {self.results_folder}")
+
+        return logs
+
+    def train(self, log_fn: Callable = lambda *a, **k: None):
+        while self.steps < self.num_train_steps:
+            logs = self.train_step()
+            log_fn(logs)
+        self.print("training complete")
+
+
+# ---------------------------------------------------------------------------
+# MaskGit trainer (not present in the reference — README.md:235 Todo)
+# ---------------------------------------------------------------------------
+
+
+class MaskGitTrainer:
+    """Trainer for base or super-res MaskGit: masked-token CE (+ critic BCE),
+    single optax optimizer over the transformer (+ critic) params, EMA,
+    grad-accum via scan, Orbax checkpoints, data-parallel over the mesh.
+
+    The VAE and T5 encoder are frozen (their params live in the non-trainable
+    partition of the split, mirroring the reference's frozen-encoder setup,
+    muse_maskgit_pytorch.py:445,641-642,690-692).
+    """
+
+    def __init__(
+        self,
+        maskgit: MaskGit,
+        *,
+        num_train_steps: int,
+        batch_size: int,
+        lr: float = 1e-4,
+        weight_decay: float = 0.0,
+        grad_accum_every: int = 1,
+        max_grad_norm: Optional[float] = None,
+        save_model_every: int = 1000,
+        results_folder: str = "./results-maskgit",
+        use_ema: bool = True,
+        ema_beta: float = 0.995,
+        ema_update_after_step: int = 0,
+        ema_update_every: int = 1,
+        mesh=None,
+        seed: int = 0,
+        attn_impl: str = "auto",
+    ):
+        self.num_train_steps = num_train_steps
+        self.batch_size = batch_size
+        self.grad_accum_every = grad_accum_every
+        self.save_model_every = save_model_every
+        self.use_ema = use_ema
+        self.ema_kwargs = dict(
+            beta=ema_beta,
+            update_after_step=ema_update_after_step,
+            update_every=ema_update_every,
+        )
+        self.mesh = default(mesh, lambda: create_mesh())
+        self.attn_impl = attn_impl
+
+        # trainable = transformer + critic params; frozen = the vae copies
+        trainable_filter = nnx.All(
+            nnx.Param,
+            nnx.Not(nnx.PathContains("vae")),
+            nnx.Not(nnx.PathContains("cond_vae")),
+        )
+        self.graphdef, params, frozen = nnx.split(maskgit, trainable_filter, ...)
+
+        if weight_decay > 0:
+            opt = optax.adamw(lr, weight_decay=weight_decay)
+        else:
+            opt = optax.adam(lr)
+        chain = []
+        if exists(max_grad_norm):
+            chain.append(optax.clip_by_global_norm(max_grad_norm))
+        chain.append(opt)
+        self.tx = optax.chain(*chain)
+
+        self.state = dict(
+            params=params,
+            frozen=frozen,
+            opt=self.tx.init(params),
+            ema=ema_init(params) if use_ema else None,
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+
+        self._train_step = self._build_train_step()
+
+    @property
+    def steps(self) -> int:
+        return int(self.state["step"])
+
+    def print(self, msg):
+        if is_main_process():
+            print(msg)
+
+    def maskgit_module(self, use_ema: bool = False) -> MaskGit:
+        params = self.state["ema"] if (use_ema and self.use_ema) else self.state["params"]
+        return nnx.merge(self.graphdef, params, self.state["frozen"])
+
+    def save(self, path=None):
+        if not is_main_process():
+            return
+        ckpt_dir = default(path, self.results_folder / "checkpoints")
+        save_train_state(ckpt_dir, self.steps, self.state)
+
+    def load(self, path=None, step=None):
+        ckpt_dir = default(path, self.results_folder / "checkpoints")
+        restored, s = load_train_state(ckpt_dir, step, target=self.state)
+        self.state = restored
+        self.state["step"] = jnp.asarray(s, jnp.int32)
+
+    def _build_train_step(self):
+        graphdef = self.graphdef
+        tx = self.tx
+        accum = self.grad_accum_every
+        use_ema, ema_kwargs = self.use_ema, self.ema_kwargs
+        attn_impl = self.attn_impl
+
+        def loss_fn(params, frozen, images, text_embeds, text_mask, key):
+            model: MaskGit = nnx.merge(graphdef, params, frozen)
+            return model(
+                images,
+                rng=key,
+                text_embeds=text_embeds,
+                text_mask=text_mask,
+                attn_impl=attn_impl,
+            )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, images, text_embeds, text_mask):
+            # leading dim = accum micro-batches
+            rng, step = state["rng"], state["step"]
+            rng, *keys = jax.random.split(rng, accum + 1)
+            keys = jnp.stack(keys)
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                img, te, tm, key = xs
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state["params"], state["frozen"], img, te, tm, key
+                )
+                return (jax.tree.map(jnp.add, g_acc, grads), loss_acc + loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, state["params"])
+            (g_sum, loss_sum), _ = jax.lax.scan(
+                micro, (zero, 0.0), (images, text_embeds, text_mask, keys)
+            )
+            g_avg = jax.tree.map(lambda g: g / accum, g_sum)
+            updates, opt = tx.update(g_avg, state["opt"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+
+            ema = state["ema"]
+            if use_ema:
+                ema = ema_update(ema, params, step, **ema_kwargs)
+
+            new_state = dict(
+                params=params,
+                frozen=state["frozen"],
+                opt=opt,
+                ema=ema,
+                step=step + 1,
+                rng=rng,
+            )
+            return new_state, {"loss": loss_sum / accum}
+
+        return train_step
+
+    def train_step_arrays(self, images, text_embeds, text_mask):
+        """One step. Arrays shaped (accum, B, ...)."""
+        with self.mesh:
+            self.state, logs = self._train_step(
+                self.state, jnp.asarray(images), jnp.asarray(text_embeds), jnp.asarray(text_mask)
+            )
+        return {k: float(v) for k, v in logs.items()}
+
+    def train(self, data_iter, log_fn: Callable = lambda *a, **k: None):
+        """data_iter yields (images (B,H,W,C) float [0,1], texts: list[str])
+        per micro-batch."""
+        from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
+
+        t5_name = self.maskgit_module().transformer.t5_name
+        while self.steps < self.num_train_steps:
+            imgs, tes, tms = [], [], []
+            max_len = 0
+            for _ in range(self.grad_accum_every):
+                images, texts = next(data_iter)
+                te, tm = t5_encode_text_with_mask(texts, name=t5_name)
+                imgs.append(np.asarray(images))
+                tes.append(np.asarray(te))
+                tms.append(np.asarray(tm))
+                max_len = max(max_len, te.shape[1])
+            # pad text lengths across micro-batches for stacking
+            for i in range(len(tes)):
+                pad = max_len - tes[i].shape[1]
+                if pad:
+                    tes[i] = np.pad(tes[i], ((0, 0), (0, pad), (0, 0)))
+                    tms[i] = np.pad(tms[i], ((0, 0), (0, pad)))
+            logs = self.train_step_arrays(np.stack(imgs), np.stack(tes), np.stack(tms))
+            self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
+            if (self.steps - 1) % self.save_model_every == 0:
+                self.save()
+            log_fn(logs)
+        self.print("training complete")

@@ -1,0 +1,115 @@
+"""Single-file module checkpointing (msgpack) + Orbax composite train state.
+
+Two tiers, mirroring the reference's two mechanisms (SURVEY.md §5):
+  * `save_module` / `load_module` — single-file weights-only save of an NNX
+    module, the role of `VQGanVAE.save`/`load` and `MaskGit.save`/`load`
+    (reference vqgan_vae.py:413-420, muse_maskgit_pytorch.py:482-489), with
+    subtree exclusion for the reference's `remove_vgg` behavior
+    (vqgan_vae.py:42-56,405-411).
+  * `save_train_state` / `load_train_state` / `latest_step` — Orbax composite
+    checkpoints carrying params, EMA, optimizer states, step and PRNG key,
+    fixing the reference's lossy trainer checkpoints (its `steps` buffer was
+    never saved — trainers.py:253-273).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import nnx
+import flax.serialization as ser
+
+
+def _filter_pure_dict(d, exclude: Sequence[str], _depth=0):
+    """Drop top-level keys named in `exclude` (e.g. '_vgg')."""
+    return {k: v for k, v in d.items() if k not in exclude}
+
+
+def _str_keys(tree):
+    """msgpack forbids int map keys; nnx.List subtrees index by int."""
+    if isinstance(tree, dict):
+        return {str(k): _str_keys(v) for k, v in tree.items()}
+    return tree
+
+
+def _unstr_keys(tree):
+    if isinstance(tree, dict):
+        return {
+            (int(k) if isinstance(k, str) and k.isdigit() else k): _unstr_keys(v)
+            for k, v in tree.items()
+        }
+    return tree
+
+
+def module_state_bytes(module: nnx.Module, exclude: Sequence[str] = ()) -> bytes:
+    state = nnx.state(module)
+    pure = state.to_pure_dict()
+    pure = _filter_pure_dict(pure, exclude)
+    pure = jax.tree.map(np.asarray, pure)
+    return ser.msgpack_serialize(_str_keys(pure))
+
+
+def save_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(module_state_bytes(module, exclude))
+
+
+def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
+    path = Path(path)
+    assert path.exists(), f"checkpoint not found: {path}"
+    restored = _unstr_keys(ser.msgpack_restore(path.read_bytes()))
+    state = nnx.state(module)
+    pure = state.to_pure_dict()
+    # keep excluded subtrees (and any missing keys) at current values
+    merged = dict(pure)
+    for k, v in restored.items():
+        if k not in exclude:
+            merged[k] = v
+    state.replace_by_pure_dict(merged)
+    nnx.update(module, state)
+
+
+# ---------------------------------------------------------------------------
+# Orbax composite train-state checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(ckpt_dir, step: int, tree) -> None:
+    """tree: any pytree (params/opt states/ema/step/rng)."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"step_{step:08d}"
+    _checkpointer().save(path, jax.tree.map(np.asarray, tree), force=True)
+
+
+def latest_step(ckpt_dir) -> Optional[int]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = [
+        int(p.name.split("_")[1])
+        for p in ckpt_dir.iterdir()
+        if p.name.startswith("step_")
+    ]
+    return max(steps) if steps else None
+
+
+def load_train_state(ckpt_dir, step: Optional[int] = None, target=None):
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        step = latest_step(ckpt_dir)
+        assert step is not None, f"no checkpoints in {ckpt_dir}"
+    path = ckpt_dir / f"step_{step:08d}"
+    restored = _checkpointer().restore(path, item=target)
+    return restored, step

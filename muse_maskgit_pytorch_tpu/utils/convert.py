@@ -1,0 +1,88 @@
+"""One-time weight converters: HuggingFace T5 → framework T5Encoder,
+torchvision VGG16 → framework VGG16.
+
+SURVEY.md §2.3: the reference leans on pretrained `T5EncoderModel`
+(t5.py:28-30) and `torchvision.models.vgg16` (vqgan_vae.py:382-384); this
+framework re-implements both natively and converts their weights once. The
+converters require `torch`/`transformers` with locally cached weights (this
+environment has no egress); when unavailable, callers fall back to random
+init (documented in models/t5.py and models/vgg.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _t(w) -> jnp.ndarray:
+    """torch Linear weight (out, in) -> flax kernel (in, out)."""
+    return jnp.asarray(np.asarray(w).T)
+
+
+def _a(w) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(w))
+
+
+def load_hf_t5_weights(model, name_or_path: str) -> None:
+    """Populate a `models.t5.T5Encoder` from a HF `T5EncoderModel`."""
+    from transformers import T5EncoderModel
+
+    hf = T5EncoderModel.from_pretrained(name_or_path)
+    sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+
+    model.token_emb.embedding.value = _a(sd["shared.weight"])
+    for i, block in enumerate(model.blocks):
+        p = f"encoder.block.{i}"
+        block.ln1.weight.value = _a(sd[f"{p}.layer.0.layer_norm.weight"])
+        attn = block.attn
+        attn.q.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.q.weight"])
+        attn.k.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.k.weight"])
+        attn.v.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.v.weight"])
+        attn.o.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.o.weight"])
+        if attn.rel_bias is not None:
+            attn.rel_bias.embedding.value = _a(
+                sd[f"{p}.layer.0.SelfAttention.relative_attention_bias.weight"]
+            )
+        block.ln2.weight.value = _a(sd[f"{p}.layer.1.layer_norm.weight"])
+        ff = block.ff
+        if ff.gated:
+            ff.wi_0.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi_0.weight"])
+            ff.wi_1.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi_1.weight"])
+        else:
+            ff.wi.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])
+        ff.wo.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])
+    model.final_norm.weight.value = _a(sd["encoder.final_layer_norm.weight"])
+
+
+def load_torchvision_vgg16(model, state_dict=None, weights_path=None) -> None:
+    """Populate a `models.vgg.VGG16` from torchvision vgg16 weights.
+
+    Provide either a state_dict (mapping) or a path to a torch checkpoint.
+    Conv weights (out, in, kh, kw) -> (kh, kw, in, out); the classifier fc
+    weights transpose directly because our flatten follows torch's CHW order
+    (models/vgg.py).
+    """
+    if state_dict is None:
+        import torch
+
+        if weights_path is not None:
+            state_dict = torch.load(weights_path, map_location="cpu")
+        else:
+            import torchvision
+
+            state_dict = torchvision.models.vgg16(pretrained=True).state_dict()
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    conv_indices = [k.split(".")[1] for k in sd if k.startswith("features") and k.endswith("weight")]
+    conv_indices = sorted(set(int(i) for i in conv_indices))
+    assert len(conv_indices) == len(model.convs), (len(conv_indices), len(model.convs))
+    for our_conv, idx in zip(model.convs, conv_indices):
+        w = sd[f"features.{idx}.weight"]  # (out, in, kh, kw)
+        our_conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))
+        our_conv.bias.value = jnp.asarray(sd[f"features.{idx}.bias"])
+
+    model.fc1.kernel.value = _t(sd["classifier.0.weight"])
+    model.fc1.bias.value = _a(sd["classifier.0.bias"])
+    model.fc2.kernel.value = _t(sd["classifier.3.weight"])
+    model.fc2.bias.value = _a(sd["classifier.3.bias"])

@@ -1,0 +1,190 @@
+"""Transformer backbone tests: shapes, CFG math, negative prompting, critics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.models.transformer import (
+    MaskGitTransformer,
+    SelfCritic,
+    TokenCritic,
+    Transformer,
+    cross_entropy_ignore_index,
+    sigmoid_bce,
+)
+
+VOCAB, DIM, SEQ, TEXT_DIM = 32, 64, 16, 48
+
+
+def tiny_transformer(**kw):
+    args = dict(
+        num_tokens=VOCAB,
+        dim=DIM,
+        seq_len=SEQ,
+        depth=2,
+        dim_head=16,
+        heads=4,
+        text_embed_dim=TEXT_DIM,
+        rngs=nnx.Rngs(0),
+    )
+    args.update(kw)
+    return MaskGitTransformer(**args)
+
+
+def rand_inputs(rng, b=2, n=SEQ, text_len=5):
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.randint(k1, (b, n), 0, VOCAB)
+    text_embeds = jax.random.normal(k2, (b, text_len, TEXT_DIM))
+    return x, text_embeds
+
+
+def test_forward_shapes(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    logits = t(x, text_embeds=te)
+    assert logits.shape == (2, SEQ, VOCAB + 0)  # mask id row exists in embedding only
+    logits, embed = t(x, text_embeds=te, return_embed=True)
+    assert embed.shape == (2, SEQ, DIM)
+
+
+def test_mask_id_is_vocab(rng):
+    t = tiny_transformer()
+    assert t.mask_id == VOCAB
+    x = jnp.full((1, SEQ), t.mask_id)
+    te = jax.random.normal(rng, (1, 4, TEXT_DIM))
+    assert np.isfinite(np.asarray(t(x, text_embeds=te))).all()
+
+
+def test_loss_with_ignore_index(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    labels = jnp.where(jnp.arange(SEQ) % 2 == 0, x, -1)
+    loss = t(x, text_embeds=te, labels=labels, ignore_index=-1)
+    assert np.isfinite(float(loss))
+
+
+def test_cross_entropy_ignore_index_matches_manual(rng):
+    logits = jax.random.normal(rng, (2, 4, 8))
+    labels = jnp.array([[1, -1, 3, -1], [-1, -1, 2, 0]])
+    loss = cross_entropy_ignore_index(logits, labels, -1)
+    logp = np.asarray(jax.nn.log_softmax(logits, -1))
+    lab = np.asarray(labels)
+    vals = [
+        -logp[b, n, lab[b, n]]
+        for b in range(2)
+        for n in range(4)
+        if lab[b, n] != -1
+    ]
+    assert np.isclose(float(loss), np.mean(vals), rtol=1e-5)
+
+
+def test_cfg_identity_at_scale_one(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    plain = t(x, text_embeds=te)
+    cfg = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=1.0)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(cfg), atol=1e-5)
+
+
+def test_cfg_linear_in_scale(rng):
+    # scaled = null + (cond - null) * s  =>  scaled(s=2) - scaled(s=0) = 2*(cond-null)
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    s0 = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=0.0)
+    s1 = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=1.0)
+    s3 = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=3.0)
+    lhs = np.asarray(s3) - np.asarray(s0)
+    rhs = 3 * (np.asarray(s1) - np.asarray(s0))
+    np.testing.assert_allclose(lhs, rhs, atol=2e-4)
+
+
+def test_cfg_null_equals_zeroed_mask(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    null = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=0.0)
+    direct_null = t(x, text_embeds=te, text_mask=jnp.zeros(te.shape[:2], bool))
+    np.testing.assert_allclose(np.asarray(null), np.asarray(direct_null), atol=1e-5)
+
+
+def test_neg_prompt_works(rng):
+    # B1 in the reference raises NameError; here it must run and match math
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    neg_te = jax.random.normal(jax.random.PRNGKey(9), (2, 7, TEXT_DIM))
+    out = t.forward_with_neg_prompt(
+        x, text_embeds=te, neg_text_embeds=neg_te, cond_scale=2.0
+    )
+    pos = t(x, text_embeds=te)
+    # pad neg text to its own length run
+    neg = t(x, text_embeds=neg_te)
+    expected = np.asarray(neg) + (np.asarray(pos) - np.asarray(neg)) * 2.0
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+
+
+def test_conditioning_tokens_extend_context(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    cond_ids = jax.random.randint(rng, (2, 4, 4), 0, VOCAB)
+    logits = t(x, text_embeds=te, conditioning_token_ids=cond_ids)
+    assert logits.shape == (2, SEQ, VOCAB)
+    # conditioning must change the output
+    logits_nocond = t(x, text_embeds=te)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_nocond))
+
+
+def test_cond_drop_prob_stochastic(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng, b=1)
+    full = t(x, text_embeds=te)
+    dropped = t(x, text_embeds=te, cond_drop_prob=1.0, rng=rng)
+    assert not np.allclose(np.asarray(full), np.asarray(dropped))
+
+
+def test_self_cond(rng):
+    t = tiny_transformer(self_cond=True)
+    x, te = rand_inputs(rng)
+    logits1, embed = t(x, text_embeds=te, return_embed=True)
+    logits2 = t(x, text_embeds=te, self_cond_embed=embed)
+    assert not np.allclose(np.asarray(logits1), np.asarray(logits2))
+
+
+def test_token_critic_head(rng):
+    c = TokenCritic(
+        num_tokens=VOCAB,
+        dim=DIM,
+        seq_len=SEQ,
+        depth=1,
+        dim_head=16,
+        heads=2,
+        text_embed_dim=TEXT_DIM,
+        rngs=nnx.Rngs(0),
+    )
+    x, te = rand_inputs(rng)
+    logits = c(x, text_embeds=te)
+    assert logits.shape == (2, SEQ, 1)
+    labels = (jax.random.uniform(rng, (2, SEQ)) < 0.5).astype(jnp.float32)
+    loss = c(x, text_embeds=te, labels=labels)
+    assert np.isfinite(float(loss))
+
+
+def test_self_critic(rng):
+    t = tiny_transformer()
+    sc = SelfCritic(t, rngs=nnx.Rngs(1))
+    x, te = rand_inputs(rng)
+    logits = sc(x, text_embeds=te)
+    assert logits.shape == (2, SEQ, 1)
+    scores = sc.forward_with_cond_scale(x, text_embeds=te, cond_scale=3.0)
+    assert scores.shape == (2, SEQ, 1)
+
+
+def test_sigmoid_bce_matches_formula(rng):
+    logits = jax.random.normal(rng, (4, 8))
+    labels = (jax.random.uniform(rng, (4, 8)) < 0.5).astype(jnp.float32)
+    loss = sigmoid_bce(logits, labels)
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    expected = -np.mean(
+        np.asarray(labels) * np.log(p) + (1 - np.asarray(labels)) * np.log(1 - p)
+    )
+    assert np.isclose(float(loss), expected, rtol=1e-4)

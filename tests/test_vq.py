@@ -1,0 +1,134 @@
+"""Tests for the VQ search kernel and the LFQ / EMA-VQ quantizers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.ops.vq import nearest_code_pallas, nearest_code_xla
+from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA, l2norm
+
+
+def test_nearest_code_pallas_matches_xla(rng):
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (100, 64))
+    cb = jax.random.normal(k2, (1000, 64))
+    ref = nearest_code_xla(x, cb)
+    out = nearest_code_pallas(x, cb, interpret=True, block_n=32, block_k=256)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_nearest_code_pallas_cosine(rng):
+    k1, k2 = jax.random.split(rng)
+    x = l2norm(jax.random.normal(k1, (64, 32)))
+    cb = l2norm(jax.random.normal(k2, (513, 32)))
+    zeros = jnp.zeros(513)
+    ref = nearest_code_xla(x, cb, cb_sq=zeros)
+    out = nearest_code_pallas(x, cb, cb_sq=zeros, interpret=True, block_k=128)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_lfq_roundtrip(rng):
+    q = LFQ(dim=32, codebook_size=256, rngs=nnx.Rngs(0))
+    x = jax.random.normal(rng, (2, 4, 4, 32))
+    quantized, indices, aux = q(x, train=True)
+    assert quantized.shape == x.shape
+    assert indices.shape == (2, 4, 4)
+    assert np.all(np.asarray(indices) >= 0) and np.all(np.asarray(indices) < 256)
+    assert np.isfinite(float(aux))
+    # indices -> codes -> must match the quantized pre-projection bits
+    codes = q.indices_to_codes(indices)
+    assert codes.shape == x.shape
+
+
+def test_lfq_bit_codec_roundtrip():
+    q = LFQ(dim=8, codebook_size=256, rngs=nnx.Rngs(0))  # no projections
+    ids = jnp.arange(256)
+    bits = q.indices_to_bits(ids)
+    back = q.bits_to_indices(bits > 0)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(ids))
+
+
+def test_lfq_no_projection_identity(rng):
+    # dim == log2(codebook_size): quantized output is exactly sign(x)
+    q = LFQ(dim=8, codebook_size=256, rngs=nnx.Rngs(0))
+    x = jax.random.normal(rng, (16, 8))
+    quantized, indices, _ = q(x, train=False)
+    np.testing.assert_array_equal(np.asarray(quantized), np.sign(np.asarray(x)))
+    codes = q.indices_to_codes(indices)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(quantized))
+
+
+def test_lfq_ste_gradient(rng):
+    q = LFQ(dim=8, codebook_size=256, rngs=nnx.Rngs(0))
+
+    def loss(x):
+        quantized, _, _ = q(x, train=False)
+        return jnp.sum(quantized * jnp.arange(8.0))
+
+    g = jax.grad(loss)(jax.random.normal(rng, (4, 8)))
+    # straight-through: gradient passes as if identity
+    np.testing.assert_allclose(
+        np.asarray(g), np.tile(np.arange(8.0), (4, 1)), atol=1e-6
+    )
+
+
+def test_lfq_entropy_loss_prefers_confident_diverse(rng):
+    q = LFQ(dim=8, codebook_size=256, rngs=nnx.Rngs(0))
+    # confident diverse bits: large magnitudes, random signs
+    diverse = jnp.where(jax.random.uniform(rng, (512, 8)) > 0.5, 1.0, -1.0) * 5
+    # collapsed: all samples identical
+    collapsed = jnp.ones((512, 8)) * 5
+    assert float(q._entropy_aux_loss(diverse)) < float(q._entropy_aux_loss(collapsed))
+
+
+def test_ema_vq_basic(rng):
+    q = VectorQuantizeEMA(
+        dim=16, codebook_size=32, codebook_dim=8, kmeans_init=False, rngs=nnx.Rngs(0)
+    )
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    quantized, indices, aux = q(x, train=True, rng=rng)
+    assert quantized.shape == x.shape
+    assert indices.shape == (2, 4, 4)
+    assert float(aux) >= 0
+
+
+def test_ema_vq_codebook_moves_toward_data(rng):
+    q = VectorQuantizeEMA(
+        dim=4,
+        codebook_size=4,
+        codebook_dim=4,
+        kmeans_init=False,
+        use_cosine_sim=False,
+        decay=0.5,
+        rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(rng, (256, 4)) + 3.0
+    before = np.asarray(q.codebook.value).copy()
+    for _ in range(20):
+        q(x, train=True)
+    after = np.asarray(q.codebook.value)
+    used = np.unique(np.asarray(q(x, train=False)[1]))
+    # codes actually used must be closer to the data mean than before
+    d_before = np.linalg.norm(before[used] - 3.0, axis=-1).mean()
+    d_after = np.linalg.norm(after[used] - 3.0, axis=-1).mean()
+    assert d_after < d_before
+
+
+def test_ema_vq_kmeans_init(rng):
+    q = VectorQuantizeEMA(
+        dim=8, codebook_size=16, codebook_dim=8, kmeans_init=True, rngs=nnx.Rngs(0)
+    )
+    assert not bool(q.initted.value)
+    x = jax.random.normal(rng, (4, 8, 8, 8))
+    q(x, train=True, rng=rng)
+    assert bool(q.initted.value)
+
+
+def test_ema_vq_eval_does_not_mutate(rng):
+    q = VectorQuantizeEMA(
+        dim=8, codebook_size=16, codebook_dim=8, kmeans_init=False, rngs=nnx.Rngs(0)
+    )
+    before = np.asarray(q.codebook.value).copy()
+    q(jax.random.normal(rng, (4, 8)), train=False)
+    np.testing.assert_array_equal(before, np.asarray(q.codebook.value))
