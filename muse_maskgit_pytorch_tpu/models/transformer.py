@@ -69,7 +69,7 @@ class FeedForward(nnx.Module):
     def __call__(self, x: Array) -> Array:
         x = self.norm(x)
         x, gate = jnp.split(self.proj_in(x), 2, axis=-1)
-        x = gate * jax.nn.gelu(x)  # GEGLU
+        x = gate * jax.nn.gelu(x, approximate=False)  # GEGLU (erf gelu, as torch F.gelu)
         x = self.norm_inner(x)
         return self.proj_out(x)
 

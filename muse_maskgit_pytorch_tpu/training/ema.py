@@ -13,7 +13,9 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(jnp.asarray, params)
+    # real copies: the shadow tree must not alias the online buffers, or
+    # buffer donation in the jitted step would donate the same buffer twice
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_update(

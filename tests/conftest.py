@@ -1,13 +1,16 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
 Real TPU hardware (1 chip here) is reserved for `bench.py`; tests exercise the
-multi-device sharding paths via `--xla_force_host_platform_device_count=8`,
-as prescribed by SURVEY.md §4 item 5.
+multi-device sharding paths via 8 virtual CPU devices, as prescribed by
+SURVEY.md §4 item 5.
+
+Note: this environment's axon sitecustomize registers the TPU plugin and sets
+`jax.config.jax_platforms` directly, so the JAX_PLATFORMS env var alone is
+not enough — we override the config before any backend initialization.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -17,9 +20,17 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert len(jax.devices()) == 8, jax.devices()
