@@ -66,7 +66,10 @@ class VGG16(nnx.Module):
         ci = 0
         for v in VGG16_CFG:
             if v == "M":
-                x = max_pool_2x2(x)
+                # tiny test images can shrink to 1x1 before the last pools;
+                # a 2x2 VALID pool would emit an empty map (NaN means) — skip
+                if x.shape[1] >= 2 and x.shape[2] >= 2:
+                    x = max_pool_2x2(x)
             else:
                 x = jax.nn.relu(self.convs[ci](x))
                 ci += 1

@@ -54,6 +54,7 @@ from muse_maskgit_pytorch_tpu.utils.checkpoint import (
     load_train_state,
     save_train_state,
 )
+from muse_maskgit_pytorch_tpu.utils.metrics import MetricsLogger, StepTimer
 from muse_maskgit_pytorch_tpu.utils.helpers import accum_log, default, exists
 
 Array = jax.Array
@@ -102,6 +103,8 @@ class VQGanVAETrainer:
         seed: int = 0,
         clear_previous_results: Optional[bool] = None,
         dataset=None,
+        metrics_file=None,
+        auto_resume: bool = False,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
@@ -162,7 +165,20 @@ class VQGanVAETrainer:
             rmtree(str(self.results_folder))
         self.results_folder.mkdir(parents=True, exist_ok=True)
 
+        self.metrics = MetricsLogger(
+            default(metrics_file, self.results_folder / "metrics.jsonl"),
+            enabled=is_main_process(),
+        )
+        self.timer = StepTimer()
+
         self._train_step = self._build_train_step()
+
+        # elastic recovery: pick up the latest checkpoint if present
+        # (the reference cannot — its checkpoints drop the step counter,
+        # trainers.py:253-273)
+        if auto_resume and latest_step(self.results_folder / "checkpoints") is not None:
+            self.load()
+            self.print(f"auto-resumed from step {self.steps}")
 
     # -- utilities -----------------------------------------------------------
 
@@ -313,6 +329,11 @@ class VQGanVAETrainer:
                 self.state, jnp.asarray(gen_imgs), jnp.asarray(discr_imgs)
             )
         logs = {k: float(v) for k, v in logs.items()}
+        self.timer.tick()
+        sps = self.timer.steps_per_sec
+        if sps is not None:
+            logs["steps_per_sec"] = round(sps, 3)
+        self.metrics.log(steps, **logs)
 
         if self.has_discr:
             self.print(
@@ -390,6 +411,8 @@ class MaskGitTrainer:
         mesh=None,
         seed: int = 0,
         attn_impl: str = "auto",
+        metrics_file=None,
+        auto_resume: bool = False,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
@@ -434,7 +457,17 @@ class MaskGitTrainer:
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
 
+        self.metrics = MetricsLogger(
+            default(metrics_file, self.results_folder / "metrics.jsonl"),
+            enabled=is_main_process(),
+        )
+        self.timer = StepTimer()
+
         self._train_step = self._build_train_step()
+
+        if auto_resume and latest_step(self.results_folder / "checkpoints") is not None:
+            self.load()
+            self.print(f"auto-resumed from step {self.steps}")
 
     @property
     def steps(self) -> int:
@@ -522,7 +555,13 @@ class MaskGitTrainer:
             self.state, logs = self._train_step(
                 self.state, jnp.asarray(images), jnp.asarray(text_embeds), jnp.asarray(text_mask)
             )
-        return {k: float(v) for k, v in logs.items()}
+        logs = {k: float(v) for k, v in logs.items()}
+        self.timer.tick()
+        sps = self.timer.steps_per_sec
+        if sps is not None:
+            logs["steps_per_sec"] = round(sps, 3)
+        self.metrics.log(self.steps - 1, **logs)
+        return logs
 
     def train(self, data_iter, log_fn: Callable = lambda *a, **k: None):
         """data_iter yields (images (B,H,W,C) float [0,1], texts: list[str])
