@@ -72,18 +72,19 @@ def main():
     log("compiling + warmup...")
     t0 = time.perf_counter()
     imgs = run(rng)
-    imgs.block_until_ready()
+    checksum = float(imgs.sum())  # device->host fetch: the only honest barrier
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s; out {imgs.shape}")
 
-    # timed runs
+    # timed runs — each run ends with a device->host fetch so lazy/async
+    # runtimes (e.g. tunneled PJRT) cannot report dispatch time as wall time
     n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
         imgs = run(jax.random.PRNGKey(i + 1))
-    imgs.block_until_ready()
+        checksum += float(imgs.sum())
     elapsed = time.perf_counter() - t0
     images_per_sec = batch * n_runs / elapsed
-    log(f"{n_runs} runs of batch {batch} in {elapsed:.2f}s -> {images_per_sec:.2f} img/s/chip")
+    log(f"{n_runs} runs of batch {batch} in {elapsed:.2f}s -> {images_per_sec:.2f} img/s/chip (checksum {checksum:.1f})")
 
     # secondary: VQ encode/decode ms per image
     img_batch = jax.random.uniform(jax.random.PRNGKey(3), (batch, image_size, image_size, 3))
@@ -93,11 +94,11 @@ def main():
         return maskgit.vae.encode(img, train=False)[1]
 
     ids = enc(img_batch)
-    ids.block_until_ready()
+    _ = float(ids.sum())
     t0 = time.perf_counter()
     for _ in range(10):
         ids = enc(img_batch)
-    ids.block_until_ready()
+        _ = float(ids.sum())
     enc_ms = (time.perf_counter() - t0) / 10 / batch * 1000
 
     @jax.jit
@@ -105,11 +106,11 @@ def main():
         return maskgit.vae.decode_from_ids(ids)
 
     out = dec(ids)
-    out.block_until_ready()
+    _ = float(out.sum())
     t0 = time.perf_counter()
     for _ in range(10):
         out = dec(ids)
-    out.block_until_ready()
+        _ = float(out.sum())
     dec_ms = (time.perf_counter() - t0) / 10 / batch * 1000
     log(f"VQ encode {enc_ms:.2f} ms/img, decode {dec_ms:.2f} ms/img")
 

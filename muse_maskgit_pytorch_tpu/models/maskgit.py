@@ -145,6 +145,7 @@ class MaskGit(nnx.Module):
         critic_noise_scale: float = 1.0,
         return_ids: bool = False,
         attn_impl: str = "auto",
+        sampler: str = "auto",
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
@@ -181,6 +182,16 @@ class MaskGit(nnx.Module):
 
         use_token_critic = exists(self.token_critic) and not force_not_use_token_critic
 
+        if sampler == "auto":
+            # the fused Pallas sampler pays off when the top-k filter would
+            # otherwise sort a large vocabulary (see ops/sampling_kernel.py)
+            sampler = (
+                "fused"
+                if jax.default_backend() == "tpu"
+                and self.transformer.num_tokens >= 8192
+                else "xla"
+            )
+
         graphdef, state = nnx.split(self)
         ids, images = _generate_jit(
             graphdef,
@@ -199,6 +210,7 @@ class MaskGit(nnx.Module):
             cond_scale=cond_scale,
             critic_noise_scale=critic_noise_scale,
             attn_impl=attn_impl,
+            sampler=sampler,
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -377,6 +389,7 @@ class MaskGit(nnx.Module):
         "cond_scale",
         "critic_noise_scale",
         "attn_impl",
+        "sampler",
     ),
 )
 def _generate_jit(
@@ -397,6 +410,7 @@ def _generate_jit(
     cond_scale,
     critic_noise_scale,
     attn_impl,
+    sampler="xla",
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -463,10 +477,30 @@ def _generate_jit(
             else self_cond_embed
         )
 
-        filtered_logits = top_k(logits, topk_filter_thres)
         # temperature annealed to zero (:578)
         temp = temperature * (steps_left.astype(jnp.float32) / timesteps)
-        pred_ids = gumbel_sample(k_gumbel, filtered_logits, temperature=temp)
+
+        if sampler == "fused":
+            # one-pass Pallas kernel: top-k threshold + gumbel + argmax +
+            # chosen-softmax-prob, logits read from HBM exactly once
+            import math as _math
+
+            from muse_maskgit_pytorch_tpu.ops.sampling_kernel import (
+                fused_topk_gumbel_sample,
+            )
+
+            vocab = logits.shape[-1]
+            k = max(_math.ceil((1 - topk_filter_thres) * vocab), 1)
+            seed = jax.random.randint(k_gumbel, (), 0, jnp.iinfo(jnp.int32).max)
+            pred_flat, chosen_flat = fused_topk_gumbel_sample(
+                logits.reshape(batch * seq_len, vocab), k, temp, seed
+            )
+            pred_ids = pred_flat.reshape(batch, seq_len)
+            chosen_prob = chosen_flat.reshape(batch, seq_len)
+        else:
+            filtered_logits = top_k(logits, topk_filter_thres)
+            pred_ids = gumbel_sample(k_gumbel, filtered_logits, temperature=temp)
+            chosen_prob = None
 
         is_mask = ids == mask_id
         ids = jnp.where(is_mask, pred_ids, ids)
@@ -487,9 +521,12 @@ def _generate_jit(
             )
             new_scores = new_scores + noise
         else:
-            probs = jax.nn.softmax(logits, axis=-1)
-            chosen = jnp.take_along_axis(probs, pred_ids[..., None], axis=-1)[..., 0]
-            new_scores = 1.0 - chosen
+            if chosen_prob is None:
+                probs = jax.nn.softmax(logits, axis=-1)
+                chosen_prob = jnp.take_along_axis(
+                    probs, pred_ids[..., None], axis=-1
+                )[..., 0]
+            new_scores = 1.0 - chosen_prob
             if not can_remask_prev_masked:
                 new_scores = jnp.where(is_mask, new_scores, -1e5)
 

@@ -59,12 +59,12 @@ class LayerNorm(nnx.Module):
 class FeedForward(nnx.Module):
     """LN -> Linear -> GEGLU -> LN -> Linear (reference :72-89)."""
 
-    def __init__(self, dim: int, mult: float = 4, *, rngs: nnx.Rngs):
+    def __init__(self, dim: int, mult: float = 4, dtype=jnp.float32, *, rngs: nnx.Rngs):
         inner_dim = int(dim * mult * 2 / 3)
         self.norm = LayerNorm(dim, rngs=rngs)
-        self.proj_in = nnx.Linear(dim, inner_dim * 2, use_bias=False, rngs=rngs)
+        self.proj_in = nnx.Linear(dim, inner_dim * 2, use_bias=False, dtype=dtype, rngs=rngs)
         self.norm_inner = LayerNorm(inner_dim, rngs=rngs)
-        self.proj_out = nnx.Linear(inner_dim, dim, use_bias=False, rngs=rngs)
+        self.proj_out = nnx.Linear(inner_dim, dim, use_bias=False, dtype=dtype, rngs=rngs)
 
     def __call__(self, x: Array) -> Array:
         x = self.norm(x)
@@ -85,6 +85,7 @@ class Attention(nnx.Module):
         cross_attend: bool = False,
         scale: float = 8.0,
         flash: bool = True,
+        dtype=jnp.float32,
         *,
         rngs: nnx.Rngs,
     ):
@@ -99,11 +100,11 @@ class Attention(nnx.Module):
         self.null_kv = nnx.Param(
             jax.random.normal(rngs.params(), (2, heads, 1, dim_head))
         )
-        self.to_q = nnx.Linear(dim, inner_dim, use_bias=False, rngs=rngs)
-        self.to_kv = nnx.Linear(dim, inner_dim * 2, use_bias=False, rngs=rngs)
+        self.to_q = nnx.Linear(dim, inner_dim, use_bias=False, dtype=dtype, rngs=rngs)
+        self.to_kv = nnx.Linear(dim, inner_dim * 2, use_bias=False, dtype=dtype, rngs=rngs)
         self.q_scale = nnx.Param(jnp.ones((dim_head,)))
         self.k_scale = nnx.Param(jnp.ones((dim_head,)))
-        self.to_out = nnx.Linear(inner_dim, dim, use_bias=False, rngs=rngs)
+        self.to_out = nnx.Linear(inner_dim, dim, use_bias=False, dtype=dtype, rngs=rngs)
 
     def __call__(
         self,
@@ -164,6 +165,7 @@ class TransformerBlocks(nnx.Module):
         heads: int = 8,
         ff_mult: float = 4,
         flash: bool = True,
+        dtype=jnp.float32,
         rngs: nnx.Rngs,
     ):
         layers = []
@@ -171,16 +173,17 @@ class TransformerBlocks(nnx.Module):
             layers.append(
                 nnx.List(
                     [
-                        Attention(dim, dim_head=dim_head, heads=heads, flash=flash, rngs=rngs),
+                        Attention(dim, dim_head=dim_head, heads=heads, flash=flash, dtype=dtype, rngs=rngs),
                         Attention(
                             dim,
                             dim_head=dim_head,
                             heads=heads,
                             cross_attend=True,
                             flash=flash,
+                            dtype=dtype,
                             rngs=rngs,
                         ),
-                        FeedForward(dim, mult=ff_mult, rngs=rngs),
+                        FeedForward(dim, mult=ff_mult, dtype=dtype, rngs=rngs),
                     ]
                 )
             )
@@ -233,22 +236,22 @@ class Transformer(nnx.Module):
         self.token_emb = nnx.Embed(num_tokens + int(add_mask_id), dim, rngs=rngs)
         self.pos_emb = nnx.Embed(seq_len, dim, rngs=rngs)
 
-        self.transformer_blocks = TransformerBlocks(dim=dim, rngs=rngs, **kwargs)
+        self.transformer_blocks = TransformerBlocks(dim=dim, dtype=dtype, rngs=rngs, **kwargs)
         self.norm = LayerNorm(dim, rngs=rngs)
 
         self.dim_out = default(dim_out, num_tokens)
-        self.to_logits = nnx.Linear(dim, self.dim_out, use_bias=False, rngs=rngs)
+        self.to_logits = nnx.Linear(dim, self.dim_out, use_bias=False, dtype=dtype, rngs=rngs)
 
         text_embed_dim = default(text_embed_dim, lambda: get_encoded_dim(t5_name))
         self.text_embed_dim = text_embed_dim
         self.text_embed_proj = (
-            nnx.Linear(text_embed_dim, dim, use_bias=False, rngs=rngs)
+            nnx.Linear(text_embed_dim, dim, use_bias=False, dtype=dtype, rngs=rngs)
             if text_embed_dim != dim
             else None
         )
 
         self.self_cond = self_cond
-        self.self_cond_to_init_embed = FeedForward(dim, rngs=rngs)
+        self.self_cond_to_init_embed = FeedForward(dim, dtype=dtype, rngs=rngs)
 
     # -- text encoding (frozen T5, reference :229-233) -----------------------
 

@@ -79,6 +79,22 @@ def gradient_penalty(images: Array, discr_fn, weight: float = 10.0) -> Array:
     return weight * jnp.mean(jnp.square(jnp.linalg.norm(grads, axis=1) - 1))
 
 
+class LayerNormChan(nnx.Module):
+    """Channel-wise LayerNorm over feature maps (reference vqgan_vae.py:133-146
+    — defined there but unused; provided for inventory parity). Our layout is
+    NHWC so the normalized axis is the last one; biased variance, gamma-only,
+    like the reference."""
+
+    def __init__(self, dim: int, eps: float = 1e-5, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.gamma = nnx.Param(jnp.ones((dim,)))
+
+    def __call__(self, x: Array) -> Array:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(jnp.clip(var, min=self.eps)) * self.gamma.value
+
+
 # ---------------------------------------------------------------------------
 # blocks (reference vqgan_vae.py:251-281)
 # ---------------------------------------------------------------------------

@@ -59,3 +59,30 @@ def accum_log(log: Dict, new_logs: Dict) -> Dict:
     for key, new_value in new_logs.items():
         log[key] = log.get(key, 0.0) + new_value
     return log
+
+
+def find_index(arr, cond):
+    """First index matching cond, else None (reference trainers.py:40-44)."""
+    for ind, el in enumerate(arr):
+        if cond(el):
+            return ind
+    return None
+
+
+def find_and_pop(arr, cond, default_val=None):
+    """Pop the first matching element (reference trainers.py:46-55)."""
+    ind = find_index(arr, cond)
+    if ind is not None:
+        return arr.pop(ind)
+    return default_val() if callable(default_val) else default_val
+
+
+def eval_decorator(fn):
+    """API-parity shim for the reference's `eval_decorator`
+    (muse_maskgit_pytorch.py:32-39, vqgan_vae.py:33-40). Torch flips a global
+    `training` flag around sampling; in this framework modules are
+    functionally pure and train/eval behavior is an explicit `train=` /
+    `rng=` argument, so there is no global mode to save and restore — the
+    decorator is the identity, kept so reference-shaped code imports cleanly.
+    """
+    return fn

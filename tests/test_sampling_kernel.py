@@ -1,0 +1,132 @@
+"""Fused top-k gumbel sampling kernel: correctness vs the XLA oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from muse_maskgit_pytorch_tpu.ops.sampling_kernel import (
+    fused_topk_gumbel_sample,
+    xla_topk_gumbel_sample,
+)
+
+
+def _logits(rows=32, V=512, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), (rows, V)) * 3.0
+
+
+def test_zero_temperature_is_argmax():
+    # temp -> 0: gumbel noise vanishes relative to logits/temp; the top-1
+    # element always survives the filter, so the draw must equal argmax
+    l = _logits()
+    idx, prob = fused_topk_gumbel_sample(
+        l, k=51, temperature=jnp.float32(0.0), seed=jnp.int32(7), interpret=True
+    )
+    expect = jnp.argmax(l, axis=-1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(expect))
+    # chosen prob equals the full softmax at the argmax
+    probs = np.asarray(jax.nn.softmax(l, -1))
+    np.testing.assert_allclose(
+        np.asarray(prob), probs[np.arange(32), np.asarray(expect)], rtol=1e-4
+    )
+
+
+def test_samples_respect_topk_filter():
+    rows, V, k = 64, 256, 26
+    l = _logits(rows, V, seed=1)
+    ranks = np.asarray((-l).argsort(-1).argsort(-1))  # 0 = largest
+    for seed in range(3):
+        idx, _ = fused_topk_gumbel_sample(
+            l, k=k, temperature=jnp.float32(2.0), seed=jnp.int32(seed), interpret=True
+        )
+        chosen_rank = ranks[np.arange(rows), np.asarray(idx)]
+        # bisection threshold keeps count >= k with ties; allow tiny slack
+        assert (chosen_rank < k + 1).all(), chosen_rank.max()
+
+
+def test_deterministic_per_seed():
+    l = _logits()
+    a1, _ = fused_topk_gumbel_sample(l, 51, jnp.float32(1.0), jnp.int32(3), interpret=True)
+    a2, _ = fused_topk_gumbel_sample(l, 51, jnp.float32(1.0), jnp.int32(3), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # NOTE: seed SENSITIVITY cannot be asserted here — the Pallas TPU
+    # interpreter's PRNG returns the same stream for every seed value (the
+    # hardware PRNG on a real chip is seed-dependent; verified by the TPU
+    # smoke run in bench_sweep.py).
+
+
+def test_chosen_prob_matches_softmax():
+    l = _logits(16, 128, seed=2)
+    idx, prob = fused_topk_gumbel_sample(
+        l, 13, jnp.float32(1.0), jnp.int32(0), interpret=True
+    )
+    probs = np.asarray(jax.nn.softmax(l, -1))
+    np.testing.assert_allclose(
+        np.asarray(prob), probs[np.arange(16), np.asarray(idx)], rtol=1e-4
+    )
+
+
+def test_distribution_roughly_softmax():
+    # at temperature 1 with k = V (no filtering), the draw frequencies must
+    # approximate softmax(logits). The interpreter's on-core PRNG is a zero
+    # stub, so pre-drawn jax.random gumbel noise is injected.
+    from muse_maskgit_pytorch_tpu.utils.sampling import gumbel_noise
+
+    V = 8
+    l = jnp.tile(jnp.log(jnp.array([[0.5, 0.2, 0.1, 0.05, 0.05, 0.04, 0.03, 0.03]])), (2048, 1))
+    g = gumbel_noise(jax.random.PRNGKey(0), (2048, V))
+    idx, _ = fused_topk_gumbel_sample(
+        l, V, jnp.float32(1.0), jnp.int32(11), noise=g, interpret=True
+    )
+    freqs = np.bincount(np.asarray(idx), minlength=V) / 2048
+    np.testing.assert_allclose(freqs, np.exp(np.asarray(l[0])), atol=0.05)
+
+
+def test_injected_noise_matches_xla_oracle():
+    """Same gumbel noise into both paths: draws must agree except possibly at
+    the bisection-vs-exact threshold boundary (rare; assert >= 99%)."""
+    from muse_maskgit_pytorch_tpu.utils.sampling import gumbel_noise
+
+    rows, V, k = 256, 512, 52
+    l = _logits(rows, V, seed=5)
+    key = jax.random.PRNGKey(1)
+    g = gumbel_noise(key, (rows, V))
+
+    idx_f, prob_f = fused_topk_gumbel_sample(
+        l, k, jnp.float32(1.0), jnp.int32(0), noise=g, interpret=True
+    )
+
+    # oracle with the same noise
+    kth = jax.lax.top_k(l, k)[0][..., -1:]
+    filtered = jnp.where(l < kth, -jnp.inf, l)
+    idx_x = jnp.argmax(filtered / 1.0 + g, axis=-1)
+
+    agree = np.mean(np.asarray(idx_f) == np.asarray(idx_x))
+    assert agree >= 0.99, agree
+    # probabilities agree wherever the draw agrees
+    probs = np.asarray(jax.nn.softmax(l, -1))
+    same = np.asarray(idx_f) == np.asarray(idx_x)
+    np.testing.assert_allclose(
+        np.asarray(prob_f)[same],
+        probs[np.arange(rows), np.asarray(idx_f)][same],
+        rtol=1e-4,
+    )
+
+
+def test_xla_oracle_consistency():
+    # both paths draw valid top-k samples; compare score definitions
+    l = _logits(16, 128, seed=3)
+    idx_x, prob_x = xla_topk_gumbel_sample(jax.random.PRNGKey(0), l, 13, jnp.float32(1.0))
+    probs = np.asarray(jax.nn.softmax(l, -1))
+    np.testing.assert_allclose(
+        np.asarray(prob_x), probs[np.arange(16), np.asarray(idx_x)], rtol=1e-5
+    )
+
+
+def test_odd_row_count_padding():
+    l = _logits(13, 256, seed=4)  # not a multiple of block_rows
+    idx, prob = fused_topk_gumbel_sample(
+        l, 26, jnp.float32(0.0), jnp.int32(0), interpret=True
+    )
+    assert idx.shape == (13,) and prob.shape == (13,)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(jnp.argmax(l, -1)))
