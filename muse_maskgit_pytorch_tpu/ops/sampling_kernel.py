@@ -10,9 +10,9 @@ through HBM. The transformer forward itself is ~13 ms — sampling dominated
 the loop 14:1.
 
 This kernel does the whole step in ONE pass with the row resident in VMEM:
-  1. top-k threshold via 24 rounds of value bisection on the row
+  1. top-k threshold via 16 rounds of value bisection on the row
      (count(l >= t) >= k invariant; for continuous f32 logits this pins the
-     k-th order statistic to ~2^-24 of the row range — ties at the threshold
+     k-th order statistic to within an expected ~V/2^16 < 2 ranks — ties at the threshold
      are kept, same semantics as `utils.sampling.top_k`);
   2. row logsumexp of the UNFILTERED logits (the reference scores
      confidence with the unfiltered softmax, :603);
@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e30
-_BISECT_ITERS = 24
+_BISECT_ITERS = 16
 
 
 def _sample_kernel(
