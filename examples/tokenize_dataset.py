@@ -1,0 +1,62 @@
+"""Pre-tokenize an image folder into binary token shards for large-scale
+MaskGit training via the native C++ shard loader (native/shard_loader.cpp).
+
+Encoding once and streaming int32 ids beats re-running the frozen VAE encoder
+every epoch: a 256px image is 192 KB of pixels but only 1 KB of tokens."""
+
+import argparse
+
+import jax
+import numpy as np
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu import VQGanVAE
+from muse_maskgit_pytorch_tpu.training.data import DataLoader, ImageDataset
+from muse_maskgit_pytorch_tpu.training.shard_loader import write_shard
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", required=True)
+    p.add_argument("--vae-checkpoint", required=True)
+    p.add_argument("--vae-dim", type=int, default=256)
+    p.add_argument("--codebook-size", type=int, default=65536)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--shard-size", type=int, default=8192, help="sequences per shard")
+    p.add_argument("--out-prefix", default="tokens/shard")
+    args = p.parse_args()
+
+    vae = VQGanVAE(
+        dim=args.vae_dim, codebook_size=args.codebook_size,
+        use_vgg_and_gan=False, rngs=nnx.Rngs(0),
+    )
+    vae.load(args.vae_checkpoint)
+
+    @jax.jit
+    def encode(imgs):
+        return vae.encode(imgs, train=False)[1]
+
+    ds = ImageDataset(args.folder, args.image_size, random_flip=False)
+    dl = DataLoader(ds, args.batch_size, shuffle=False)
+
+    from pathlib import Path
+
+    Path(args.out_prefix).parent.mkdir(parents=True, exist_ok=True)
+
+    buf, shard_idx, total = [], 0, 0
+    for batch in dl:
+        ids = np.asarray(encode(batch))  # (b, f, f)
+        buf.append(ids.reshape(ids.shape[0], -1).astype(np.int32))
+        total += ids.shape[0]
+        if sum(b.shape[0] for b in buf) >= args.shard_size:
+            write_shard(f"{args.out_prefix}_{shard_idx:05d}.bin", np.concatenate(buf))
+            print(f"wrote shard {shard_idx} ({total} sequences so far)")
+            buf, shard_idx = [], shard_idx + 1
+    if buf:
+        write_shard(f"{args.out_prefix}_{shard_idx:05d}.bin", np.concatenate(buf))
+    print(f"done: {total} sequences")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Train the VQ-GAN VAE image tokenizer (reference README.md:19-56 workflow)."""
+
+import argparse
+
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu import VQGanVAE, VQGanVAETrainer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", required=True, help="image folder (recursive jpg/jpeg/png)")
+    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--codebook-size", type=int, default=65536)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--grad-accum-every", type=int, default=8)
+    p.add_argument("--num-train-steps", type=int, default=50000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--results-folder", default="./results")
+    p.add_argument("--use-ema-vq", action="store_true", help="EMA vector quantizer instead of LFQ")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    vae = VQGanVAE(
+        dim=args.dim,
+        codebook_size=args.codebook_size,
+        lookup_free_quantization=not args.use_ema_vq,
+        rngs=nnx.Rngs(0),
+    )
+
+    trainer = VQGanVAETrainer(
+        vae,
+        folder=args.folder,
+        num_train_steps=args.num_train_steps,
+        batch_size=args.batch_size,
+        image_size=args.image_size,
+        lr=args.lr,
+        grad_accum_every=args.grad_accum_every,
+        results_folder=args.results_folder,
+        use_ema=True,
+        auto_resume=args.resume,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

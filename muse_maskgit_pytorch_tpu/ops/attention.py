@@ -55,16 +55,24 @@ def xla_attention(
     v: Array,
     mask: Optional[Array] = None,
     scale: Optional[float] = None,
+    dropout: float = 0.0,
+    dropout_rng: Optional[Array] = None,
 ) -> Array:
     """Plain attention; XLA fuses this well for small/medium sequences.
 
     q: (b, h, n, d);  k, v: (b, h, m, d);  mask: bool (b, m) over kv positions.
+    Attention-weight dropout mirrors reference attend.py:134 (the models
+    never enable it — default 0).
     """
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     sim = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
     if mask is not None:
         sim = jnp.where(mask[:, None, None, :], sim, NEG_INF)
     attn = jax.nn.softmax(sim, axis=-1)
+    if dropout > 0.0:
+        assert dropout_rng is not None, "attention dropout requires a key"
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
     return jnp.einsum("bhij,bhjd->bhid", attn, v)
 
 
@@ -219,6 +227,8 @@ def attend(
     block_q: int = 256,
     block_k: int = 512,
     interpret: Optional[bool] = None,
+    dropout: float = 0.0,
+    dropout_rng: Optional[Array] = None,
 ) -> Array:
     """Hardware-aware attention dispatch (role of reference `Attend.forward`,
     attend.py:109-119).
@@ -235,9 +245,12 @@ def attend(
     scale = q.shape[-1] ** -0.5 if scale is None else float(scale)
 
     if impl == "xla":
-        return xla_attention(q, k, v, mask=mask, scale=scale)
+        return xla_attention(
+            q, k, v, mask=mask, scale=scale, dropout=dropout, dropout_rng=dropout_rng
+        )
 
     assert impl == "flash", f"unknown attention impl {impl!r}"
+    assert dropout == 0.0, "attention dropout is only supported on the XLA path"
     b, _, _, _ = q.shape
     m = k.shape[2]
     if mask is None:
