@@ -173,12 +173,13 @@ class MaskGit(nnx.Module):
             ), "conditioning image must be passed in for super res maskgit"
             _, cond_ids, _ = self.cond_vae.encode(cond_images, train=False)
 
-        if not can_remask_prev_masked:
+        if can_remask_prev_masked:
             # reference :608-611: remasking non-masked positions is only
             # meaningful when trained with no_mask_token_prob > 0
-            pass
-        else:
-            assert self.no_mask_token_prob > 0.0
+            assert self.no_mask_token_prob > 0.0, (
+                "without training with some non-masked tokens forced to "
+                "predict, logits for unmasked positions are not meaningful"
+            )
 
         use_token_critic = exists(self.token_critic) and not force_not_use_token_critic
 

@@ -274,15 +274,42 @@ class VectorQuantizeEMA(nnx.Module):
             codes = self.project_out(codes)
         return codes
 
+    def update_from_input(self, x: Array, rng: Optional[Array] = None) -> None:
+        """Apply kmeans-init + EMA codebook updates for a batch. MUST be
+        called OUTSIDE any jax.grad trace (flax only allows Variable mutation
+        under its own lifted transforms); the trainers call it after the
+        gradient computation with `update_stats=False` in the loss."""
+        z = self.project_in(x) if self.has_projections else x
+        z_flat = jax.lax.stop_gradient(
+            z.reshape(-1, self.codebook_dim).astype(jnp.float32)
+        )
+        self._maybe_init(z_flat, rng)
+        cb = self.codebook.value
+        if self.use_cosine_sim:
+            indices = nearest_code(l2norm(z_flat), cb, cb_sq=jnp.zeros(cb.shape[0]))
+        else:
+            indices = nearest_code(z_flat, cb)
+        onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
+        self._ema_update(z_flat, onehot)
+
     def __call__(
-        self, x: Array, train: bool = True, rng: Optional[Array] = None
+        self,
+        x: Array,
+        train: bool = True,
+        rng: Optional[Array] = None,
+        update_stats: Optional[bool] = None,
     ) -> Tuple[Array, Array, Array]:
-        """x: (..., dim) -> (quantized (..., dim), indices (...,), aux_loss)."""
+        """x: (..., dim) -> (quantized (..., dim), indices (...,), aux_loss).
+
+        `update_stats` (default: follows `train`) gates the kmeans-init/EMA
+        mutations — pass False inside differentiated code and call
+        `update_from_input` afterwards."""
+        update_stats = train if update_stats is None else update_stats
         lead_shape = x.shape[:-1]
         z = self.project_in(x) if self.has_projections else x
         z_flat = z.reshape(-1, self.codebook_dim).astype(jnp.float32)
 
-        if train:
+        if update_stats:
             self._maybe_init(z_flat, rng)
 
         cb = self.codebook.value
@@ -298,7 +325,7 @@ class VectorQuantizeEMA(nnx.Module):
         )
         aux_loss = self.commitment_weight * commit
 
-        if train:
+        if update_stats:
             onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
             self._ema_update(z_flat, onehot)
 

@@ -142,10 +142,15 @@ class Attention(nnx.Module):
             mask = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
 
         if impl == "auto":
-            # Pallas kernel on TPU; XLA attention elsewhere (the interpret-mode
-            # Pallas path is exercised directly by the kernel parity tests)
+            # measured on v5e (BASELINE.md): XLA's fused attention wins at the
+            # models' short sequences (<= ~2.3k kv incl. conditioning tokens);
+            # the Pallas flash kernel takes over when kv no longer fits the
+            # O(n^2) materialization comfortably
+            kv_len = k.shape[2]
             impl = (
-                "flash" if (self.flash and jax.default_backend() == "tpu") else "xla"
+                "flash"
+                if (self.flash and jax.default_backend() == "tpu" and kv_len > 2048)
+                else "xla"
             )
         out = attend(q, k, v, mask=mask, scale=self.scale, impl=impl)
 

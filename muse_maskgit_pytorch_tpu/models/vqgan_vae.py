@@ -402,13 +402,27 @@ class VQGanVAE(nnx.Module):
     # -- core codec ----------------------------------------------------------
 
     def encode(
-        self, img: Array, train: bool = False, rng: Optional[Array] = None
+        self,
+        img: Array,
+        train: bool = False,
+        rng: Optional[Array] = None,
+        update_stats: Optional[bool] = None,
     ) -> Tuple[Array, Array, Array]:
-        """img: (b, h, w, c) in [0, 1] -> (fmap (b,h',w',d), ids (b,h',w'), aux)."""
+        """img: (b, h, w, c) in [0, 1] -> (fmap (b,h',w',d), ids (b,h',w'), aux).
+
+        `update_stats` gates EMA-VQ codebook mutations (must be False inside
+        jax.grad; see `update_quantizer_stats`)."""
         fmap = self.enc_dec.encode(img)
         if isinstance(self.quantizer, VectorQuantizeEMA):
-            return self.quantizer(fmap, train=train, rng=rng)
+            return self.quantizer(fmap, train=train, rng=rng, update_stats=update_stats)
         return self.quantizer(fmap, train=train)
+
+    def update_quantizer_stats(self, img: Array, rng: Optional[Array] = None) -> None:
+        """EMA-VQ codebook statistics update for a batch (no-op for LFQ).
+        Called by the trainer outside the gradient computation."""
+        if isinstance(self.quantizer, VectorQuantizeEMA):
+            fmap = jax.lax.stop_gradient(self.enc_dec.encode(img))
+            self.quantizer.update_from_input(fmap, rng=rng)
 
     def decode(self, fmap: Array) -> Array:
         return self.enc_dec.decode(fmap)
@@ -433,13 +447,16 @@ class VQGanVAE(nnx.Module):
         apply_adaptive_weight: bool = True,
         train: bool = True,
         rng: Optional[Array] = None,
+        update_stats: Optional[bool] = None,
     ):
         b, height, width, channels = img.shape
         for name, size in (("height", height), ("width", width)):
             assert size % self.dim_divisor == 0, f"{name} must be divisible by {self.dim_divisor}"
         assert channels == self.channels
 
-        fmap, _indices, commit_loss = self.encode(img, train=train, rng=rng)
+        fmap, _indices, commit_loss = self.encode(
+            img, train=train, rng=rng, update_stats=update_stats
+        )
 
         # keep the decoder split so the adaptive weight can grad wrt the
         # final conv kernel only (reference vqgan_vae.py:517-525)

@@ -72,6 +72,10 @@ def _make_optimizer(lr: float, max_grad_norm: Optional[float]):
 _DISCR = nnx.All(nnx.Param, nnx.PathContains("discr"))
 _VGG = nnx.All(nnx.Param, nnx.PathContains("_vgg"))
 _GEN = nnx.Param  # whatever Param is left after the first two filters
+# explicit form of _GEN for nnx.DiffState (which has no "remaining" notion)
+_GEN_DIFF = nnx.All(
+    nnx.Param, nnx.Not(nnx.PathContains("discr")), nnx.Not(nnx.PathContains("_vgg"))
+)
 
 
 class VQGanVAETrainer:
@@ -224,9 +228,16 @@ class VQGanVAETrainer:
 
         def gen_loss_fn(gen_params, discr_params, vgg_params, rest, img, key):
             model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
-            loss = model(img, return_loss=True, train=True, rng=key)
+            # update_stats=False: flax forbids Variable mutation inside
+            # jax.grad; the EMA-VQ codebook update runs separately below
+            return model(img, return_loss=True, train=True, rng=key, update_stats=False)
+
+        def update_vq_stats(gen_params, discr_params, vgg_params, rest, img, key):
+            # EMA-VQ codebook statistics: mutation outside the grad trace
+            model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
+            model.update_quantizer_stats(img, rng=key)
             _, _, _, _, new_rest = nnx.split(model, _DISCR, _VGG, _GEN, ...)
-            return loss, new_rest
+            return new_rest
 
         def discr_loss_fn(discr_params, gen_params, vgg_params, rest, img, key, apply_gp):
             model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
@@ -254,7 +265,11 @@ class VQGanVAETrainer:
             def gen_micro(carry, xs):
                 g_acc, loss_acc, rest = carry
                 img, key = xs
-                (loss, new_rest), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                loss, grads = jax.value_and_grad(gen_loss_fn)(
+                    state["gen_params"], state["discr_params"], state["vgg_params"],
+                    rest, img, key,
+                )
+                new_rest = update_vq_stats(
                     state["gen_params"], state["discr_params"], state["vgg_params"],
                     rest, img, key,
                 )
