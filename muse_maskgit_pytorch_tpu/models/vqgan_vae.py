@@ -101,12 +101,12 @@ class LayerNormChan(nnx.Module):
 
 
 class ResBlock(nnx.Module):
-    def __init__(self, chan: int, groups: int = 16, *, rngs: nnx.Rngs):
-        self.conv1 = nnx.Conv(chan, chan, (3, 3), padding=1, rngs=rngs)
+    def __init__(self, chan: int, groups: int = 16, dtype=jnp.float32, *, rngs: nnx.Rngs):
+        self.conv1 = nnx.Conv(chan, chan, (3, 3), padding=1, dtype=dtype, rngs=rngs)
         self.norm1 = nnx.GroupNorm(chan, num_groups=groups, rngs=rngs)
-        self.conv2 = nnx.Conv(chan, chan, (3, 3), padding=1, rngs=rngs)
+        self.conv2 = nnx.Conv(chan, chan, (3, 3), padding=1, dtype=dtype, rngs=rngs)
         self.norm2 = nnx.GroupNorm(chan, num_groups=groups, rngs=rngs)
-        self.conv3 = nnx.Conv(chan, chan, (1, 1), rngs=rngs)
+        self.conv3 = nnx.Conv(chan, chan, (1, 1), dtype=dtype, rngs=rngs)
 
     def __call__(self, x: Array) -> Array:
         h = leaky_relu(self.norm1(self.conv1(x)))
@@ -115,12 +115,12 @@ class ResBlock(nnx.Module):
 
 
 class GLUResBlock(nnx.Module):
-    def __init__(self, chan: int, groups: int = 16, *, rngs: nnx.Rngs):
-        self.conv1 = nnx.Conv(chan, chan * 2, (3, 3), padding=1, rngs=rngs)
+    def __init__(self, chan: int, groups: int = 16, dtype=jnp.float32, *, rngs: nnx.Rngs):
+        self.conv1 = nnx.Conv(chan, chan * 2, (3, 3), padding=1, dtype=dtype, rngs=rngs)
         self.norm1 = nnx.GroupNorm(chan, num_groups=groups, rngs=rngs)
-        self.conv2 = nnx.Conv(chan, chan * 2, (3, 3), padding=1, rngs=rngs)
+        self.conv2 = nnx.Conv(chan, chan * 2, (3, 3), padding=1, dtype=dtype, rngs=rngs)
         self.norm2 = nnx.GroupNorm(chan, num_groups=groups, rngs=rngs)
-        self.conv3 = nnx.Conv(chan, chan, (1, 1), rngs=rngs)
+        self.conv3 = nnx.Conv(chan, chan, (1, 1), dtype=dtype, rngs=rngs)
 
     def __call__(self, x: Array) -> Array:
         h = jax.nn.glu(self.conv1(x), axis=-1)
@@ -149,9 +149,11 @@ class ResnetEncDec(nnx.Module):
         num_resnet_blocks: Union[int, Tuple[int, ...]] = 1,
         resnet_groups: int = 16,
         first_conv_kernel_size: int = 5,
+        dtype=jnp.float32,
         rngs: nnx.Rngs,
     ):
         assert dim % resnet_groups == 0
+        self.dtype = dtype
 
         self.layers = layers
         layer_mults = list(default(layer_mults, [2**t for t in range(layers)]))
@@ -167,23 +169,24 @@ class ResnetEncDec(nnx.Module):
 
         pad5 = first_conv_kernel_size // 2
         encoders = [
-            nnx.Conv(channels, dim, (first_conv_kernel_size,) * 2, padding=pad5, rngs=rngs)
+            nnx.Conv(channels, dim, (first_conv_kernel_size,) * 2, padding=pad5, dtype=dtype, rngs=rngs)
         ]
         decoders = []  # built back-to-front like the reference (prepend)
 
         for (dim_in, dim_out), n_res in zip(dim_pairs, num_resnet_blocks):
             encoders.append(
-                _StridedConv(dim_in, dim_out, rngs=rngs)
+                _StridedConv(dim_in, dim_out, dtype=dtype, rngs=rngs)
             )
-            decoders.insert(0, _UpConv(dim_out, dim_in, rngs=rngs))
+            decoders.insert(0, _UpConv(dim_out, dim_in, dtype=dtype, rngs=rngs))
             for _ in range(n_res):
-                encoders.append(ResBlock(dim_out, groups=resnet_groups, rngs=rngs))
-                decoders.insert(0, GLUResBlock(dim_out, groups=resnet_groups, rngs=rngs))
+                encoders.append(ResBlock(dim_out, groups=resnet_groups, dtype=dtype, rngs=rngs))
+                decoders.insert(0, GLUResBlock(dim_out, groups=resnet_groups, dtype=dtype, rngs=rngs))
 
         self.encoders = nnx.List(encoders)
         self.decoder_trunk = nnx.List(decoders)
         # final 1x1 conv kept separate: its kernel is the reference's
         # `last_dec_layer` (vqgan_vae.py:237-239) used by the adaptive weight
+        # (always f32: it feeds pixel outputs and the adaptive-weight grads)
         self.final_conv = nnx.Conv(dim, channels, (1, 1), rngs=rngs)
 
     def get_encoded_fmap_size(self, image_size: int) -> int:
@@ -208,9 +211,9 @@ class ResnetEncDec(nnx.Module):
 
 
 class _StridedConv(nnx.Module):
-    def __init__(self, dim_in: int, dim_out: int, *, rngs: nnx.Rngs):
+    def __init__(self, dim_in: int, dim_out: int, dtype=jnp.float32, *, rngs: nnx.Rngs):
         self.conv = nnx.Conv(
-            dim_in, dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), rngs=rngs
+            dim_in, dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=dtype, rngs=rngs
         )
 
     def __call__(self, x: Array) -> Array:
@@ -218,9 +221,9 @@ class _StridedConv(nnx.Module):
 
 
 class _UpConv(nnx.Module):
-    def __init__(self, dim_in: int, dim_out: int, *, rngs: nnx.Rngs):
+    def __init__(self, dim_in: int, dim_out: int, dtype=jnp.float32, *, rngs: nnx.Rngs):
         self.conv = nnx.ConvTranspose(
-            dim_in, dim_out, (4, 4), strides=(2, 2), padding="SAME", rngs=rngs
+            dim_in, dim_out, (4, 4), strides=(2, 2), padding="SAME", dtype=dtype, rngs=rngs
         )
 
     def __call__(self, x: Array) -> Array:
@@ -293,6 +296,7 @@ class VQGanVAE(nnx.Module):
         lfq_kwargs: Optional[dict] = None,
         use_vgg_and_gan: bool = True,
         discr_layers: int = 4,
+        dtype=jnp.float32,
         rngs: nnx.Rngs,
         **kwargs,
     ):
@@ -317,7 +321,7 @@ class VQGanVAE(nnx.Module):
         self.dim_divisor = 2**layers
 
         self.enc_dec = ResnetEncDec(
-            dim=dim, channels=channels, layers=layers, rngs=rngs, **encdec_kwargs
+            dim=dim, channels=channels, layers=layers, dtype=dtype, rngs=rngs, **encdec_kwargs
         )
 
         self.lookup_free_quantization = lookup_free_quantization

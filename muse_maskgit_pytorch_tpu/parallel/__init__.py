@@ -9,4 +9,5 @@ from muse_maskgit_pytorch_tpu.parallel.mesh import (
     replicate,
     partition_specs_for,
     is_main_process,
+    init_distributed,
 )

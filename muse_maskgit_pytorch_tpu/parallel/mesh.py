@@ -68,6 +68,17 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` (the role of
+    Accelerate's process-group setup, reference trainers.py:159). Call once
+    per host before building meshes; a no-op if already initialized."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 # ---------------------------------------------------------------------------
 # parameter partition rules (tensor parallelism)
 # ---------------------------------------------------------------------------
