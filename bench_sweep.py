@@ -53,11 +53,11 @@ def time_generate(mg, batch, timesteps=18, attn_impl="auto", n_runs=5, **kw):
         )
 
     out = run(jax.random.PRNGKey(9))
-    out.block_until_ready()
+    checksum = float(out.sum())  # host fetch: honest barrier on lazy runtimes
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = run(jax.random.PRNGKey(i))
-    out.block_until_ready()
+        checksum += float(out.sum())
     dt = (time.perf_counter() - t0) / n_runs
     return batch / dt, dt
 
@@ -92,12 +92,12 @@ def main():
 
     for batch in [8]:
         out = cascade(jax.random.PRNGKey(0), batch)
-        out.block_until_ready()
+        checksum = float(out.sum())
         t0 = time.perf_counter()
         n = 3
         for i in range(n):
             out = cascade(jax.random.PRNGKey(i), batch)
-        out.block_until_ready()
+            checksum += float(out.sum())
         dt = (time.perf_counter() - t0) / n
         log(f"  batch {batch}: {batch/dt:.2f} img/s two-stage 512px ({dt:.2f} s/batch)")
 

@@ -39,7 +39,27 @@ from flax import nnx
 
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
 from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
-from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh, is_main_process, shard_batch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from muse_maskgit_pytorch_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    is_main_process,
+    shard_batch,
+)
+
+
+def _put_microbatched(arr, mesh):
+    """Place a (accum, batch, ...) host array with the batch dim (axis 1)
+    sharded over the mesh's data axis — this is what makes the jitted step
+    data-parallel (XLA adds the gradient psum from the sharding)."""
+    arr = jnp.asarray(arr)
+    if getattr(mesh, "size", 1) <= 1 or DATA_AXIS not in mesh.shape:
+        return arr
+    if arr.shape[1] % mesh.shape[DATA_AXIS] != 0:
+        return arr  # batch not divisible: leave placement to the compiler
+    spec = P(None, DATA_AXIS, *([None] * (arr.ndim - 2)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
 from muse_maskgit_pytorch_tpu.training.data import (
     DataLoader,
     ImageDataset,
@@ -341,7 +361,9 @@ class VQGanVAETrainer:
         )
         with self.mesh:
             self.state, logs = self._train_step(
-                self.state, jnp.asarray(gen_imgs), jnp.asarray(discr_imgs)
+                self.state,
+                _put_microbatched(gen_imgs, self.mesh),
+                _put_microbatched(discr_imgs, self.mesh),
             )
         logs = {k: float(v) for k, v in logs.items()}
         self.timer.tick()
@@ -568,7 +590,10 @@ class MaskGitTrainer:
         """One step. Arrays shaped (accum, B, ...)."""
         with self.mesh:
             self.state, logs = self._train_step(
-                self.state, jnp.asarray(images), jnp.asarray(text_embeds), jnp.asarray(text_mask)
+                self.state,
+                _put_microbatched(images, self.mesh),
+                _put_microbatched(text_embeds, self.mesh),
+                _put_microbatched(text_mask, self.mesh),
             )
         logs = {k: float(v) for k, v in logs.items()}
         self.timer.tick()
