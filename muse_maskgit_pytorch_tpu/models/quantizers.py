@@ -232,18 +232,18 @@ class VectorQuantizeEMA(nnx.Module):
         if not self.kmeans_init or key is None:
             return
         centers = jax.lax.cond(
-            self.initted.value,
-            lambda: self.codebook.value,
+            self.initted[...],
+            lambda: self.codebook[...],
             lambda: self._kmeans(z, key),
         )
-        self.codebook.value = centers
-        self.embed_avg.value = jnp.where(
-            self.initted.value, self.embed_avg.value, centers
+        self.codebook[...] = centers
+        self.embed_avg[...] = jnp.where(
+            self.initted[...], self.embed_avg[...], centers
         )
-        self.cluster_size.value = jnp.where(
-            self.initted.value, self.cluster_size.value, jnp.ones_like(self.cluster_size.value)
+        self.cluster_size[...] = jnp.where(
+            self.initted[...], self.cluster_size[...], jnp.ones_like(self.cluster_size[...])
         )
-        self.initted.value = jnp.array(True)
+        self.initted[...] = jnp.array(True)
 
     # -- EMA update ---------------------------------------------------------
 
@@ -251,25 +251,25 @@ class VectorQuantizeEMA(nnx.Module):
         counts = onehot.sum(0)  # (K,)
         sums = onehot.T @ z  # (K, d)
         d = self.decay
-        self.cluster_size.value = d * self.cluster_size.value + (1 - d) * counts
-        self.embed_avg.value = d * self.embed_avg.value + (1 - d) * sums
+        self.cluster_size[...] = d * self.cluster_size[...] + (1 - d) * counts
+        self.embed_avg[...] = d * self.embed_avg[...] + (1 - d) * sums
 
         # Laplace-smoothed cluster sizes
-        n = self.cluster_size.value.sum()
+        n = self.cluster_size[...].sum()
         smoothed = (
-            (self.cluster_size.value + self.eps)
+            (self.cluster_size[...] + self.eps)
             / (n + self.codebook_size * self.eps)
             * n
         )
-        embed = self.embed_avg.value / smoothed[:, None]
+        embed = self.embed_avg[...] / smoothed[:, None]
         if self.use_cosine_sim:
             embed = l2norm(embed)
-        self.codebook.value = embed
+        self.codebook[...] = embed
 
     # -- forward ------------------------------------------------------------
 
     def get_codes_from_indices(self, indices: Array) -> Array:
-        codes = self.codebook.value[indices]
+        codes = self.codebook[...][indices]
         if self.has_projections:
             codes = self.project_out(codes)
         return codes
@@ -284,7 +284,7 @@ class VectorQuantizeEMA(nnx.Module):
             z.reshape(-1, self.codebook_dim).astype(jnp.float32)
         )
         self._maybe_init(z_flat, rng)
-        cb = self.codebook.value
+        cb = self.codebook[...]
         if self.use_cosine_sim:
             indices = nearest_code(l2norm(z_flat), cb, cb_sq=jnp.zeros(cb.shape[0]))
         else:
@@ -312,7 +312,7 @@ class VectorQuantizeEMA(nnx.Module):
         if update_stats:
             self._maybe_init(z_flat, rng)
 
-        cb = self.codebook.value
+        cb = self.codebook[...]
         if self.use_cosine_sim:
             zq_search = l2norm(z_flat)
             indices = nearest_code(zq_search, cb, cb_sq=jnp.zeros(cb.shape[0]))

@@ -105,7 +105,7 @@ class RMSNorm(nnx.Module):
     def __call__(self, x: Array) -> Array:
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         x = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
-        return x * self.weight.value.astype(x.dtype)
+        return x * self.weight[...].astype(x.dtype)
 
 
 def _relative_position_bucket(

