@@ -76,8 +76,11 @@ class LFQ(nnx.Module):
         self.entropy_loss_weight = entropy_loss_weight
         self.commitment_loss_weight = commitment_loss_weight
         self.inv_temperature = inv_temperature
-        self.entropy_group_bits = min(entropy_group_bits, codebook_dim)
-        assert codebook_dim % self.entropy_group_bits == 0
+        # largest group size <= entropy_group_bits that divides the code width
+        g = min(entropy_group_bits, codebook_dim)
+        while codebook_dim % g:
+            g -= 1
+        self.entropy_group_bits = g
 
         self.has_projections = dim != codebook_dim
         if self.has_projections:

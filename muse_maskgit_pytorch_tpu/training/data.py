@@ -67,33 +67,48 @@ class ImageDataset:
 
 
 class DataLoader:
-    """Minimal shuffling batch loader with a background prefetch thread."""
+    """Shuffling batch loader with threaded decode + background prefetch.
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0, prefetch: int = 2):
+    PIL releases the GIL during JPEG/PNG decode, so a thread pool gives real
+    decode parallelism (the role of torch DataLoader's worker processes for
+    the reference, trainers.py:204-214) without pickling overhead.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        num_workers: int = 4,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
         order = list(range(len(self.dataset)))
         rng = _random.Random(self.seed)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
-        def worker():
+        def assemble():
             if self.shuffle:
                 rng.shuffle(order)
-            batch = []
-            for i in order:
-                batch.append(self.dataset[i])
-                if len(batch) == self.batch_size:
-                    q.put(np.stack(batch))
-                    batch = []
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                    chunk = order[start : start + self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, chunk))
+                    q.put(np.stack(items))
             q.put(stop)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=assemble, daemon=True)
         t.start()
         while True:
             item = q.get()

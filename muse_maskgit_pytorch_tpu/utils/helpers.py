@@ -29,6 +29,11 @@ def cast_tuple(t):
     return t if isinstance(t, (tuple, list)) else (t,)
 
 
+def pick_and_pop(keys, d: Dict) -> Dict:
+    """Pop `keys` out of d into a new dict (reference vqgan_vae.py:60-62)."""
+    return {key: d.pop(key) for key in keys}
+
+
 # kwarg prefix routing — the reference's entire "config system"
 # (reference vqgan_vae.py:60-81): `vq_*` kwargs go to the quantizer,
 # `encdec_*` kwargs go to the encoder/decoder, etc.
