@@ -146,6 +146,7 @@ class MaskGit(nnx.Module):
         return_ids: bool = False,
         attn_impl: str = "auto",
         sampler: str = "auto",
+        injected_gumbel_noise: Optional[Array] = None,
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
@@ -183,7 +184,9 @@ class MaskGit(nnx.Module):
 
         use_token_critic = exists(self.token_critic) and not force_not_use_token_critic
 
-        if sampler == "auto":
+        if injected_gumbel_noise is not None:
+            sampler = "xla"  # injected noise drives the XLA sampling path
+        elif sampler == "auto":
             # the fused Pallas sampler pays off when the top-k filter would
             # otherwise sort a large vocabulary (see ops/sampling_kernel.py)
             sampler = (
@@ -202,6 +205,7 @@ class MaskGit(nnx.Module):
             neg_text_embeds,
             cond_ids,
             rng,
+            injected_gumbel_noise,
             fmap_size=fmap_size,
             temperature=temperature,
             topk_filter_thres=topk_filter_thres,
@@ -401,6 +405,7 @@ def _generate_jit(
     neg_text_embeds,
     cond_ids,
     rng,
+    injected_gumbel_noise,
     *,
     fmap_size,
     temperature,
@@ -445,9 +450,16 @@ def _generate_jit(
     ts = jnp.linspace(0.0, 1.0, timesteps)
     steps_until_x0 = jnp.arange(timesteps - 1, -1, -1)
 
+    # parity harness: pre-drawn per-step gumbel noise (T, b, seq, vocab)
+    # replaces the in-loop jax.random stream so the same noise can drive a
+    # torch restatement of the reference loop (SURVEY.md §7 hard part 2)
+    has_injected = injected_gumbel_noise is not None
+    if not has_injected:
+        injected_gumbel_noise = jnp.zeros((timesteps, 1, 1, 1), jnp.float32)
+
     def step(carry, xs):
         ids, scores, self_cond_embed = carry
-        t, steps_left, key = xs
+        t, steps_left, key, g_inj = xs
         k_gumbel, k_critic_noise = jax.random.split(key)
 
         rand_mask_prob = model.noise_schedule(t)
@@ -498,6 +510,13 @@ def _generate_jit(
             )
             pred_ids = pred_flat.reshape(batch, seq_len)
             chosen_prob = chosen_flat.reshape(batch, seq_len)
+        elif has_injected:
+            filtered_logits = top_k(logits, topk_filter_thres)
+            safe_temp = jnp.maximum(temp, 1e-10)
+            pred_ids = jnp.argmax(filtered_logits / safe_temp + g_inj, axis=-1).astype(
+                jnp.int32
+            )
+            chosen_prob = None
         else:
             filtered_logits = top_k(logits, topk_filter_thres)
             pred_ids = gumbel_sample(k_gumbel, filtered_logits, temperature=temp)
@@ -536,7 +555,7 @@ def _generate_jit(
     (ids, _, _), _ = jax.lax.scan(
         step,
         (ids0, scores0, self_cond0),
-        (ts, steps_until_x0, step_keys),
+        (ts, steps_until_x0, step_keys, injected_gumbel_noise),
     )
 
     ids = ids.reshape(batch, fmap_size, fmap_size)
