@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from typing import Callable, List, Optional, Union
 
+import chex
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -238,6 +239,12 @@ class MaskGit(nnx.Module):
         sample_temperature: Optional[float] = None,
         attn_impl: str = "auto",
     ) -> Array:
+        # shape/type validation (the reference's beartype+assert layer,
+        # SURVEY.md §5 — here via chex so it also fires under tracing)
+        chex.assert_rank(images_or_ids, {2, 3, 4})
+        if text_embeds is not None:
+            chex.assert_rank(text_embeds, 3)
+
         # tokenize if needed
         if jnp.issubdtype(images_or_ids.dtype, jnp.floating):
             assert exists(self.vae), "vqgan vae must be passed in to train from raw images"

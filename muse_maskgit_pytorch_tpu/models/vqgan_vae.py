@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence, Tuple, Union
 
+import chex
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -416,6 +417,7 @@ class VQGanVAE(nnx.Module):
 
         `update_stats` gates EMA-VQ codebook mutations (must be False inside
         jax.grad; see `update_quantizer_stats`)."""
+        chex.assert_rank(img, 4)  # NHWC
         fmap = self.enc_dec.encode(img)
         if isinstance(self.quantizer, VectorQuantizeEMA):
             return self.quantizer(fmap, train=train, rng=rng, update_stats=update_stats)
