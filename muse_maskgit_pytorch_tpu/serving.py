@@ -1,0 +1,147 @@
+"""Serving pipeline: fixed-shape batched text->image generation.
+
+Production wrapper around `MaskGit.generate` / the `Muse` cascade. XLA
+compiles one program per distinct shape, so a server must pin its shapes:
+the pipeline pads every request batch to a fixed `batch_size` and every
+prompt to fixed text-length buckets, pre-compiles them in `warmup()`, and
+then serves arbitrary-size prompt lists by chunking. (The reference has no
+serving story at all — its generate is a host python loop with per-step
+device syncs, SURVEY.md §3.3.)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
+from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
+from muse_maskgit_pytorch_tpu.utils.helpers import default
+
+
+class GeneratePipeline:
+    """Batched, shape-stable sampling service around one MaskGit (or a Muse
+    cascade's base+superres pair).
+
+    Usage:
+        pipe = GeneratePipeline(maskgit, batch_size=16)
+        pipe.warmup()
+        images = pipe(["a cat", "a dog", ...])   # any number of prompts
+    """
+
+    def __init__(
+        self,
+        model: Union[MaskGit, Muse],
+        batch_size: int = 16,
+        timesteps: int = 18,
+        cond_scale: float = 3.0,
+        temperature: float = 1.0,
+        text_len: int = 64,
+        seed: int = 0,
+        return_pil: bool = True,
+    ):
+        self.model = model
+        self.is_cascade = isinstance(model, Muse)
+        self.batch_size = batch_size
+        self.timesteps = timesteps
+        self.cond_scale = cond_scale
+        self.temperature = temperature
+        self.text_len = text_len
+        self.return_pil = return_pil
+        self._rng = jax.random.PRNGKey(seed)
+        self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
+
+    # -- internals ------------------------------------------------------------
+
+    def _transformer(self):
+        m = self.model.base_maskgit if self.is_cascade else self.model
+        return m.transformer
+
+    def _encode_prompts(self, prompts: Sequence[str]):
+        """Fixed-length text embeddings: pad/truncate to `text_len` so every
+        batch hits the same compiled program."""
+        embeds, mask = t5_encode_text_with_mask(
+            list(prompts),
+            name=self._transformer().t5_name,
+            max_length=self.text_len,
+            pad_to_multiple=self.text_len,
+        )
+        n = embeds.shape[1]
+        if n < self.text_len:
+            embeds = jnp.pad(embeds, ((0, 0), (0, self.text_len - n), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, self.text_len - n)))
+        return embeds[:, : self.text_len], mask[:, : self.text_len]
+
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def _generate_batch(self, embeds, mask):
+        key = self._next_key()
+        if self.is_cascade:
+            k1, k2 = jax.random.split(key)
+            low = self.model.base_maskgit.generate(
+                text_embeds=embeds, text_mask=mask, rng=k1,
+                timesteps=self.timesteps, cond_scale=self.cond_scale,
+                temperature=self.temperature,
+            )
+            low = jnp.clip(low, 0.0, 1.0)
+            return self.model.superres_maskgit.generate(
+                text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
+                timesteps=self.timesteps, cond_scale=self.cond_scale,
+                temperature=self.temperature,
+            )
+        return self.model.generate(
+            text_embeds=embeds, text_mask=mask, rng=key,
+            timesteps=self.timesteps, cond_scale=self.cond_scale,
+            temperature=self.temperature,
+        )
+
+    # -- public ----------------------------------------------------------------
+
+    def warmup(self) -> float:
+        """Compile the fixed-shape program; returns compile wall-clock."""
+        t0 = time.perf_counter()
+        embeds, mask = self._encode_prompts([""] * self.batch_size)
+        out = self._generate_batch(embeds, mask)
+        jax.block_until_ready(out)
+        _ = float(out.sum())  # full barrier on lazy runtimes
+        return time.perf_counter() - t0
+
+    def __call__(self, prompts: Union[str, List[str]]):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts)
+        self.stats["requests"] += 1
+
+        outputs = []
+        for start in range(0, n, self.batch_size):
+            chunk = list(prompts[start : start + self.batch_size])
+            pad = self.batch_size - len(chunk)
+            chunk_padded = chunk + [""] * pad
+
+            embeds, mask = self._encode_prompts(chunk_padded)
+            t0 = time.perf_counter()
+            imgs = self._generate_batch(embeds, mask)
+            imgs_np = np.clip(np.asarray(imgs, np.float32), 0.0, 1.0)
+            self.stats["generate_seconds"] += time.perf_counter() - t0
+            self.stats["batches"] += 1
+            outputs.append(imgs_np[: len(chunk)])
+
+        images = np.concatenate(outputs, axis=0)
+        self.stats["images"] += n
+        if self.return_pil:
+            from muse_maskgit_pytorch_tpu.training.data import to_pil_images
+
+            return to_pil_images(images)
+        return images
+
+    @property
+    def images_per_second(self) -> Optional[float]:
+        if self.stats["generate_seconds"] == 0:
+            return None
+        return self.stats["images"] / self.stats["generate_seconds"]
