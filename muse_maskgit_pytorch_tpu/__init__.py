@@ -17,6 +17,7 @@ from muse_maskgit_pytorch_tpu.models.transformer import (
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA
 from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer, MaskGitTrainer
+from muse_maskgit_pytorch_tpu.serving import GeneratePipeline
 
 __version__ = "0.1.0"
 
@@ -32,4 +33,5 @@ __all__ = [
     "VectorQuantizeEMA",
     "VQGanVAETrainer",
     "MaskGitTrainer",
+    "GeneratePipeline",
 ]
