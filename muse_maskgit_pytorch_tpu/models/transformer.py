@@ -142,10 +142,12 @@ class Attention(nnx.Module):
             mask = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
 
         if impl == "auto":
-            # measured on v5e (BASELINE.md): XLA's fused attention wins at the
-            # models' short sequences (<= ~2.3k kv incl. conditioning tokens);
-            # the Pallas flash kernel takes over when kv no longer fits the
-            # O(n^2) materialization comfortably
+            # measured on v5e: the Pallas flash kernel wins ISOLATED
+            # microbenches at every model shape, but INSIDE the decode scan
+            # each pallas_call is a fusion barrier costing ~0.4 ms (16 calls x
+            # 18 steps), so XLA attention is faster end-to-end until the raw
+            # kernel win exceeds that (kv ~> 2k; interleaved A/B in
+            # BASELINE.md). Dispatch accordingly.
             kv_len = k.shape[2]
             impl = (
                 "flash"

@@ -82,8 +82,11 @@ def xla_attention(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
-    """One (batch*head, q-block) program: online softmax over kv chunks."""
-    q = q_ref[0].astype(jnp.float32)  # (bq, d) — scale already folded in
+    """One (batch*head, q-block) program: online softmax over kv chunks.
+
+    Dots run in the input dtype (bf16 inputs hit the MXU's fast path) with
+    f32 accumulation; the softmax statistics stay f32."""
+    q = q_ref[0]  # (bq, d) — scale already folded in
     block_q, d = q.shape
     kv_len = k_ref.shape[1]
     num_kv_blocks = kv_len // block_k
@@ -94,10 +97,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q,
-            k_blk.astype(jnp.float32),
+            k_blk,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+        )  # (bq, bk) f32
         s = s + bias_ref[0, 0, pl.ds(i * block_k, block_k)][None, :]
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
