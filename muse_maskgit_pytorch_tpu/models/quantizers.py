@@ -182,6 +182,7 @@ class VectorQuantizeEMA(nnx.Module):
         use_cosine_sim: bool = True,
         kmeans_init: bool = True,
         kmeans_iters: int = 10,
+        threshold_ema_dead_code: float = 0.0,
         eps: float = 1e-5,
         rngs: nnx.Rngs,
     ):
@@ -193,6 +194,10 @@ class VectorQuantizeEMA(nnx.Module):
         self.use_cosine_sim = use_cosine_sim
         self.kmeans_init = kmeans_init
         self.kmeans_iters = kmeans_iters
+        # codes whose EMA cluster size falls below this get re-seeded from
+        # the current batch (vector_quantize_pytorch's expired-code revival;
+        # 0 disables, the upstream default)
+        self.threshold_ema_dead_code = threshold_ema_dead_code
         self.eps = eps
 
         self.has_projections = dim != codebook_dim
@@ -250,7 +255,7 @@ class VectorQuantizeEMA(nnx.Module):
 
     # -- EMA update ---------------------------------------------------------
 
-    def _ema_update(self, z: Array, onehot: Array):
+    def _ema_update(self, z: Array, onehot: Array, rng: Optional[Array] = None):
         counts = onehot.sum(0)  # (K,)
         sums = onehot.T @ z  # (K, d)
         d = self.decay
@@ -267,6 +272,24 @@ class VectorQuantizeEMA(nnx.Module):
         embed = self.embed_avg[...] / smoothed[:, None]
         if self.use_cosine_sim:
             embed = l2norm(embed)
+
+        if self.threshold_ema_dead_code > 0 and rng is not None:
+            # expired-code revival: re-seed dead codes from random batch rows
+            dead = self.cluster_size[...] < self.threshold_ema_dead_code
+            pick = jax.random.randint(rng, (self.codebook_size,), 0, z.shape[0])
+            samples = z[pick]
+            if self.use_cosine_sim:
+                samples = l2norm(samples)
+            embed = jnp.where(dead[:, None], samples, embed)
+            self.cluster_size[...] = jnp.where(
+                dead, self.threshold_ema_dead_code, self.cluster_size[...]
+            )
+            self.embed_avg[...] = jnp.where(
+                dead[:, None],
+                samples * self.threshold_ema_dead_code,
+                self.embed_avg[...],
+            )
+
         self.codebook[...] = embed
 
     # -- forward ------------------------------------------------------------
@@ -293,7 +316,7 @@ class VectorQuantizeEMA(nnx.Module):
         else:
             indices = nearest_code(z_flat, cb)
         onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
-        self._ema_update(z_flat, onehot)
+        self._ema_update(z_flat, onehot, rng=rng)
 
     def __call__(
         self,
@@ -330,7 +353,7 @@ class VectorQuantizeEMA(nnx.Module):
 
         if update_stats:
             onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
-            self._ema_update(z_flat, onehot)
+            self._ema_update(z_flat, onehot, rng=rng)
 
         # straight-through
         quantized_flat = z_flat + jax.lax.stop_gradient(quantized_flat - z_flat)

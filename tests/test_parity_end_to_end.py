@@ -124,3 +124,28 @@ def test_full_decode_token_parity(rng):
     # a near-tie in rare cases — require (essentially) perfect agreement
     assert matches >= 0.995, f"token agreement {matches:.4f}\n{ours}\n{ref}"
     assert ours.min() >= 0 and ours.max() < VOCAB
+
+
+def test_cfg_with_conditioning_tokens_matches_torch(rng):
+    """Super-res forward: conditioning image tokens in the cross-attn context
+    (reference :312-318), CFG null pass keeps them attendable."""
+    t = _transformer()
+    w = weights_from_jax(t)
+    ids = np.asarray(jax.random.randint(rng, (2, SEQ), 0, VOCAB))
+    te = np.asarray(jax.random.normal(rng, (2, 6, TEXT_DIM)), np.float32)
+    cond = np.asarray(jax.random.randint(jax.random.PRNGKey(3), (2, 4, 4), 0, VOCAB))
+
+    ours = np.asarray(
+        t.forward_with_cond_scale(
+            jnp.asarray(ids),
+            text_embeds=jnp.asarray(te),
+            conditioning_token_ids=jnp.asarray(cond),
+            cond_scale=3.0,
+        )
+    )
+    with torch.no_grad():
+        ref = forward_with_cond_scale(
+            torch.tensor(ids), torch.tensor(te), w, HEADS, cond_scale=3.0,
+            conditioning_token_ids=torch.tensor(cond),
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)

@@ -132,3 +132,23 @@ def test_ema_vq_eval_does_not_mutate(rng):
     before = np.asarray(q.codebook.value).copy()
     q(jax.random.normal(rng, (4, 8)), train=False)
     np.testing.assert_array_equal(before, np.asarray(q.codebook.value))
+
+
+def test_ema_vq_dead_code_revival(rng):
+    """Expired-code revival (vector_quantize_pytorch's
+    threshold_ema_dead_code; off by default upstream and here)."""
+    q = VectorQuantizeEMA(
+        dim=4, codebook_size=8, codebook_dim=4, kmeans_init=False,
+        use_cosine_sim=False, decay=0.5, threshold_ema_dead_code=0.5,
+        rngs=nnx.Rngs(0),
+    )
+    # data clustered far from most random-init codes: most codes go dead
+    x = jax.random.normal(rng, (64, 4)) * 0.1 + 5.0
+    for i in range(5):
+        q(x, train=True, rng=jax.random.fold_in(rng, i))
+    # revived codes sit near the data, so assignments spread across several
+    ids = np.asarray(q(x, train=False)[1])
+    assert len(np.unique(ids)) >= 2
+    # every code is now near the data mean (dead ones re-seeded from batch)
+    cb = np.asarray(q.codebook[...])
+    assert np.linalg.norm(cb - 5.0, axis=-1).max() < 3.0

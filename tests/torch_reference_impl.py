@@ -69,13 +69,21 @@ def attention(x, w, heads, context=None, context_mask=None, scale=8.0):
     return out @ w["w_out"]
 
 
-def transformer_forward(ids, text_embeds, w, heads, context_mask=None):
+def transformer_forward(ids, text_embeds, w, heads, context_mask=None,
+                        conditioning_token_ids=None):
     """Token transformer forward (:279-348), cond_drop handled by the caller
-    zeroing `context_mask` (:308-310)."""
+    zeroing `context_mask` (:308-310); conditioning image tokens join the
+    cross-attn context with an always-True mask (:312-318)."""
     b, n = ids.shape
     context = text_embeds @ w["text_proj"] if w.get("text_proj") is not None else text_embeds
     if context_mask is None:
         context_mask = (text_embeds != 0).any(dim=-1)
+
+    if conditioning_token_ids is not None:
+        cond_flat = conditioning_token_ids.reshape(b, -1)
+        cond_emb = w["token_emb"][cond_flat]
+        context = torch.cat([context, cond_emb], dim=-2)
+        context_mask = F.pad(context_mask, (0, cond_flat.shape[-1]), value=True)
 
     x = w["token_emb"][ids] + w["pos_emb"][:n]
     for layer in w["layers"]:
@@ -86,13 +94,20 @@ def transformer_forward(ids, text_embeds, w, heads, context_mask=None):
     return x @ w["to_logits"]
 
 
-def forward_with_cond_scale(ids, text_embeds, w, heads, cond_scale):
-    """CFG: two sequential forwards, null = zeroed context mask (:240-259)."""
-    logits = transformer_forward(ids, text_embeds, w, heads)
+def forward_with_cond_scale(ids, text_embeds, w, heads, cond_scale,
+                            conditioning_token_ids=None):
+    """CFG: two sequential forwards, null = zeroed TEXT mask (:240-259);
+    conditioning tokens stay attendable in the null pass (:308-318)."""
+    logits = transformer_forward(
+        ids, text_embeds, w, heads, conditioning_token_ids=conditioning_token_ids
+    )
     if cond_scale == 1:
         return logits
     null_mask = torch.zeros(text_embeds.shape[:2], dtype=torch.bool)
-    null_logits = transformer_forward(ids, text_embeds, w, heads, context_mask=null_mask)
+    null_logits = transformer_forward(
+        ids, text_embeds, w, heads, context_mask=null_mask,
+        conditioning_token_ids=conditioning_token_ids,
+    )
     return null_logits + (logits - null_logits) * cond_scale
 
 
