@@ -1,6 +1,11 @@
 """Sample text->image with a trained base (and optionally super-res) MaskGit
 — the reference README.md:159-219 usage, cascade included."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo-root run without install
+
 import argparse
 
 import jax

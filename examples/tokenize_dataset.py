@@ -4,6 +4,11 @@ MaskGit training via the native C++ shard loader (native/shard_loader.cpp).
 Encoding once and streaming int32 ids beats re-running the frozen VAE encoder
 every epoch: a 256px image is 192 KB of pixels but only 1 KB of tokens."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo-root run without install
+
 import argparse
 
 import jax

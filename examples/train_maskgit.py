@@ -3,6 +3,11 @@ Todo — README.md:235). Captions come from `<image-stem>.txt` files next to
 each image; images without a caption train with an empty prompt (pure CFG
 null conditioning)."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo-root run without install
+
 import argparse
 from pathlib import Path
 

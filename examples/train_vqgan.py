@@ -1,5 +1,10 @@
 """Train the VQ-GAN VAE image tokenizer (reference README.md:19-56 workflow)."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo-root run without install
+
 import argparse
 
 from flax import nnx
