@@ -452,7 +452,10 @@ class Transformer(nnx.Module):
             h, context=context, context_mask=context_mask, impl=attn_impl
         )
 
-        logits = self.to_logits(embed).astype(jnp.float32)
+        # logits stay in the compute dtype: at vocab 65536 the CFG-doubled
+        # f32 logits are ~2 GB of HBM traffic per decode step; the loss fns
+        # and the sampling kernel upcast to f32 where it matters
+        logits = self.to_logits(embed)
 
         if return_embed:
             return logits, embed
@@ -474,7 +477,7 @@ class Transformer(nnx.Module):
 def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int) -> Array:
     """Mean CE over positions where labels != ignore_index
     (torch F.cross_entropy(ignore_index=...) semantics, reference :343)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
@@ -484,6 +487,7 @@ def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int) 
 
 def sigmoid_bce(logits: Array, labels: Array) -> Array:
     """Mean binary cross-entropy with logits (reference :341)."""
+    logits = logits.astype(jnp.float32)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     return -jnp.mean(labels * log_p + (1.0 - labels) * log_not_p)

@@ -120,7 +120,7 @@ def fused_topk_gumbel_sample(
     block_rows: int = 16,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """logits: (rows, V) f32; k static; temperature traced scalar; seed traced
+    """logits: (rows, V) f32 or bf16; k static; temperature traced scalar; seed traced
     int32 scalar; noise: optional (rows, V) pre-drawn gumbel noise (overrides
     the on-core PRNG). Returns (sampled_idx (rows,), chosen_prob (rows,))."""
     rows, V = logits.shape
@@ -137,7 +137,9 @@ def fused_topk_gumbel_sample(
     has_noise = noise is not None
 
     in_specs = [pl.BlockSpec((bn, V), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
-    operands = [logits.astype(jnp.float32)]
+    # logits pass through in their own dtype (bf16 halves the HBM read);
+    # the kernel upcasts to f32 in VMEM
+    operands = [logits]
     if has_noise:
         in_specs.append(
             pl.BlockSpec((bn, V), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
