@@ -26,7 +26,7 @@ All randomness (CFG context dropout) uses explicit PRNG keys.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ Public surface mirrors the reference: `encode` (vqgan_vae.py:422-425),
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Tuple, Union
 
 import chex

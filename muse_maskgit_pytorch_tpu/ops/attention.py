@@ -26,7 +26,6 @@ SURVEY.md §5) a bespoke backward kernel buys nothing over XLA's fused one.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ cosine-sim search, pass l2-normalized x and codebook with `cb_sq = 0`.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

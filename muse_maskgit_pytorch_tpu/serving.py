@@ -20,7 +20,6 @@ import numpy as np
 
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
-from muse_maskgit_pytorch_tpu.utils.helpers import default
 
 
 class GeneratePipeline:

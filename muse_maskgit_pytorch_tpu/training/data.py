@@ -15,7 +15,7 @@ import random as _random
 import threading
 import queue
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -45,7 +45,6 @@ from muse_maskgit_pytorch_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     is_main_process,
-    shard_batch,
 )
 
 
@@ -75,7 +74,7 @@ from muse_maskgit_pytorch_tpu.utils.checkpoint import (
     save_train_state,
 )
 from muse_maskgit_pytorch_tpu.utils.metrics import MetricsLogger, StepTimer
-from muse_maskgit_pytorch_tpu.utils.helpers import accum_log, default, exists
+from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
 
 Array = jax.Array
 

@@ -14,9 +14,8 @@ Two tiers, mirroring the reference's two mechanisms (SURVEY.md §5):
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
