@@ -148,8 +148,14 @@ class MaskGit(nnx.Module):
         attn_impl: str = "auto",
         sampler: str = "auto",
         injected_gumbel_noise: Optional[Array] = None,
+        progress: bool = False,
     ) -> Array:
-        """Text -> images via iterative parallel decode, fully jitted."""
+        """Text -> images via iterative parallel decode, fully jitted.
+
+        `progress=True` prints a host-side line per decode step via
+        `jax.debug.callback` (role of the reference's tqdm bar,
+        muse_maskgit_pytorch.py:22,556 — off by default: each callback is a
+        host round-trip)."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         fmap_size = default(
             fmap_size,
@@ -217,6 +223,7 @@ class MaskGit(nnx.Module):
             critic_noise_scale=critic_noise_scale,
             attn_impl=attn_impl,
             sampler=sampler,
+            progress=progress,
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -402,6 +409,7 @@ class MaskGit(nnx.Module):
         "critic_noise_scale",
         "attn_impl",
         "sampler",
+        "progress",
     ),
 )
 def _generate_jit(
@@ -424,6 +432,7 @@ def _generate_jit(
     critic_noise_scale,
     attn_impl,
     sampler="xla",
+    progress=False,
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -468,6 +477,16 @@ def _generate_jit(
         ids, scores, self_cond_embed = carry
         t, steps_left, key, g_inj = xs
         k_gumbel, k_critic_noise = jax.random.split(key)
+
+        if progress:
+            # host-side progress line (tqdm role); each callback syncs once
+            jax.debug.callback(
+                lambda left, T=timesteps: print(
+                    f"maskgit decode step {T - int(left)}/{T}", flush=True
+                ),
+                steps_left,
+                ordered=False,
+            )
 
         rand_mask_prob = model.noise_schedule(t)
         # reference :559: max(int(p * seq_len), 1) — int() truncates
