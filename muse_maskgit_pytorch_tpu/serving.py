@@ -42,6 +42,7 @@ class GeneratePipeline:
         text_len: int = 64,
         seed: int = 0,
         return_pil: bool = True,
+        negative_prompt: Optional[str] = None,
     ):
         self.model = model
         self.is_cascade = isinstance(model, Muse)
@@ -51,6 +52,7 @@ class GeneratePipeline:
         self.temperature = temperature
         self.text_len = text_len
         self.return_pil = return_pil
+        self.negative_prompt = negative_prompt
         self._rng = jax.random.PRNGKey(seed)
         self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
 
@@ -79,23 +81,32 @@ class GeneratePipeline:
         self._rng, key = jax.random.split(self._rng)
         return key
 
+    def _neg_embeds(self):
+        if self.negative_prompt is None:
+            return None
+        embeds, _ = self._encode_prompts([self.negative_prompt] * self.batch_size)
+        return embeds
+
     def _generate_batch(self, embeds, mask):
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
             low = self.model.base_maskgit.generate(
                 text_embeds=embeds, text_mask=mask, rng=k1,
+                neg_text_embeds=self._neg_embeds(),
                 timesteps=self.timesteps, cond_scale=self.cond_scale,
                 temperature=self.temperature,
             )
             low = jnp.clip(low, 0.0, 1.0)
             return self.model.superres_maskgit.generate(
                 text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
+                neg_text_embeds=self._neg_embeds(),
                 timesteps=self.timesteps, cond_scale=self.cond_scale,
                 temperature=self.temperature,
             )
         return self.model.generate(
             text_embeds=embeds, text_mask=mask, rng=key,
+            neg_text_embeds=self._neg_embeds(),
             timesteps=self.timesteps, cond_scale=self.cond_scale,
             temperature=self.temperature,
         )

@@ -96,7 +96,17 @@ class ShardLoader:
         seed: int = 0,
         num_threads: int = 2,
         drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        # multi-host data parallelism: each host mmaps only its round-robin
+        # slice of the shard list (and offsets its shuffle seed) so the
+        # global batch is disjoint across hosts
+        if process_count > 1:
+            paths = [p for i, p in enumerate(sorted(map(str, paths)))
+                     if i % process_count == process_index]
+            assert paths, "fewer shards than processes"
+            seed = seed * process_count + process_index
         self._lib = _lib()
         c_paths = (ctypes.c_char_p * len(paths))(
             *[str(p).encode() for p in paths]

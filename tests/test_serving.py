@@ -68,3 +68,12 @@ def test_pipeline_deterministic_stream_advances():
     b = pipe(["same prompt", "same prompt"])
     # key stream advances between calls: outputs differ
     assert not np.allclose(a, b)
+
+
+def test_pipeline_negative_prompt():
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        negative_prompt="blurry",
+    )
+    out = pipe(["a", "b"])
+    assert out.shape == (2, 16, 16, 3)

@@ -79,3 +79,25 @@ def test_rejects_corrupt_shard(tmp_path):
     p.write_bytes(b"NOTMAGIC" + b"\0" * 64)
     with pytest.raises(ValueError):
         ShardLoader([p], batch_size=2)
+
+
+def test_multihost_shard_partitioning(tmp_path):
+    """process_index/process_count: each host sees a disjoint shard subset."""
+    paths = []
+    for i in range(4):
+        tokens = np.full((6, 4), i, np.int32)
+        p = tmp_path / f"s{i}.bin"
+        write_shard(p, tokens)
+        paths.append(p)
+
+    seen = []
+    for rank in range(2):
+        dl = ShardLoader(paths, batch_size=3, seed=0, process_index=rank, process_count=2)
+        assert dl.num_seqs == 12  # 2 of 4 shards
+        vals = set()
+        for _ in range(4):
+            vals.update(int(v) for v in dl.next_batch()[:, 0])
+        seen.append(vals)
+        dl.close()
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == {0, 1, 2, 3}
