@@ -301,7 +301,8 @@ class MaskGit(nnx.Module):
             k_selfcond_coin,
             k_sample_t,
             k_sample,
-        ) = jax.random.split(rng, 7)
+            k_drop_critic,
+        ) = jax.random.split(rng, 8)
 
         # prepare mask (reference :669-686)
         rand_time = jax.random.uniform(k_time, (batch,))
@@ -384,7 +385,9 @@ class MaskGit(nnx.Module):
             conditioning_token_ids=cond_token_ids,
             labels=critic_labels,
             cond_drop_prob=cond_drop_prob,
-            rng=k_drop,
+            # independent CFG-dropout mask for the critic: the reference draws
+            # a fresh bernoulli per forward (muse_maskgit_pytorch.py:308-310)
+            rng=k_drop_critic,
             attn_impl=attn_impl,
         )
         return ce_loss + self.critic_loss_weight * bce_loss

@@ -102,7 +102,11 @@ class DataLoader:
             if self.shuffle:
                 rng.shuffle(order)
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                # drop_last=False semantics (matches torch DataLoader default,
+                # reference trainers.py:202-213): the final partial batch is
+                # yielded, so a dataset smaller than batch_size still produces
+                # batches instead of hanging cycle() forever.
+                for start in range(0, len(order), self.batch_size):
                     chunk = order[start : start + self.batch_size]
                     items = list(pool.map(self.dataset.__getitem__, chunk))
                     q.put(np.stack(items))

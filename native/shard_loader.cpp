@@ -148,9 +148,12 @@ class ShardLoader {
     cursor_.store(0);
   }
 
-  // Claim the next batch's index range; epoch wrap triggers a reshuffle
-  // under the epoch mutex so exactly one thread reshuffles.
-  bool claim(int64_t* start, int* rows) {
+  // Claim the next batch's index entries; the (shard, row) pairs are
+  // SNAPSHOTTED under epoch_mu_ — an epoch-wrap reshuffle() std::shuffles
+  // index_ in place, so reading index_ after releasing the lock could tear
+  // pairs mid-shuffle (UB / out-of-bounds rows). Epoch wrap itself also
+  // happens here, so exactly one thread reshuffles.
+  bool claim(std::vector<std::pair<int32_t, int64_t>>* entries) {
     std::lock_guard<std::mutex> lk(epoch_mu_);
     int64_t n = num_seqs();
     int64_t c = cursor_.load();
@@ -161,8 +164,7 @@ class ShardLoader {
     }
     int64_t take = std::min<int64_t>(batch_size_, n - c);
     cursor_.store(c + take);
-    *start = c;
-    *rows = static_cast<int>(take);
+    entries->assign(index_.begin() + c, index_.begin() + c + take);
     return true;
   }
 
@@ -176,13 +178,14 @@ class ShardLoader {
         });
         if (stop_.load()) return;
       }
-      int64_t start; int rows;
-      claim(&start, &rows);
+      std::vector<std::pair<int32_t, int64_t>> entries;
+      claim(&entries);
+      const int rows = static_cast<int>(entries.size());
       Batch b;
       b.rows = rows;
       b.tokens.assign(static_cast<size_t>(batch_size_) * L, 0);
       for (int r = 0; r < rows; ++r) {
-        auto [si, sj] = index_[start + r];
+        auto [si, sj] = entries[r];
         const Shard& s = shards_[si];
         memcpy(b.tokens.data() + static_cast<size_t>(r) * L,
                s.data + sj * L, L * 4);
