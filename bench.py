@@ -3,8 +3,10 @@
 Headline metric (BASELINE.json): images/sec/chip for 256px base MaskGit
 sampling (18 decode steps, CFG cond_scale 3 → doubled-batch forwards) at the
 reference-recommended scale (transformer dim 512 / depth 8 / seq 256 / vocab
-65536; VAE dim 256 — reference README.md:29-70). Also measures VQ encode /
-decode ms/image. Prints ONE JSON line:
+65536 — reference README.md:61-70; VAE dim 128 / 4 layers, see BASELINE.md for
+the dim-256 note). Also measures VQ encode / decode ms/image and the full
+text→512px two-stage cascade (the literal north-star config). Prints ONE JSON
+line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 vs_baseline is against the north-star target of 4 images/sec/chip.
 """
@@ -114,6 +116,57 @@ def main():
     dec_ms = (time.perf_counter() - t0) / 10 / batch * 1000
     log(f"VQ encode {enc_ms:.2f} ms/img, decode {dec_ms:.2f} ms/img")
 
+    # north-star configuration: full two-stage text->512px cascade
+    # (base 256px -> super-res 512px conditioned on the clamped base output;
+    # reference muse_maskgit_pytorch.py:745-791)
+    log("building super-res stage (seq 1024)...")
+    sr_transformer = MaskGitTransformer(
+        num_tokens=65536,
+        dim=512,
+        seq_len=1024,
+        depth=8,
+        dim_head=64,
+        heads=8,
+        text_embed_dim=768,
+        dtype=dtype,
+        rngs=nnx.Rngs(1),
+    )
+    superres = MaskGit(
+        image_size=512,
+        cond_image_size=256,
+        transformer=sr_transformer,
+        vae=vae,
+        cond_vae=vae,
+    )
+    cas_batch = 8
+    te_c, tm_c = text_embeds[:cas_batch], text_mask[:cas_batch]
+
+    def cascade(key):
+        k1, k2 = jax.random.split(key)
+        low = maskgit.generate(
+            text_embeds=te_c, text_mask=tm_c, rng=k1,
+            timesteps=timesteps, cond_scale=3.0,
+        )
+        low = jnp.clip(low, 0.0, 1.0)
+        return superres.generate(
+            text_embeds=te_c, text_mask=tm_c, rng=k2, cond_images=low,
+            timesteps=timesteps, cond_scale=3.0,
+        )
+
+    log("compiling cascade...")
+    t0 = time.perf_counter()
+    out = cascade(jax.random.PRNGKey(0))
+    checksum = float(out.sum())
+    log(f"cascade first call: {time.perf_counter() - t0:.1f}s; out {out.shape}")
+    n_cas = 3
+    t0 = time.perf_counter()
+    for i in range(n_cas):
+        out = cascade(jax.random.PRNGKey(i + 1))
+        checksum += float(out.sum())
+    cas_elapsed = time.perf_counter() - t0
+    cascade_img_s = cas_batch * n_cas / cas_elapsed
+    log(f"{n_cas} cascade runs of batch {cas_batch} in {cas_elapsed:.2f}s -> {cascade_img_s:.2f} img/s/chip text->512px")
+
     result = {
         "metric": "images/sec/chip, 256px base MaskGit sampling (18 steps, CFG 3)",
         "value": round(images_per_sec, 3),
@@ -125,6 +178,9 @@ def main():
             "timesteps": timesteps,
             "vq_encode_ms_per_image": round(enc_ms, 3),
             "vq_decode_ms_per_image": round(dec_ms, 3),
+            "cascade_text_to_512px_img_per_sec_chip": round(cascade_img_s, 3),
+            "cascade_batch": cas_batch,
+            "cascade_vs_north_star_4imgs": round(cascade_img_s / 4.0, 3),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,147 @@
+"""EMA-VQ at the reference's production scale (VERDICT r1 item 7).
+
+Trains a VQ-GAN VAE with the classic EMA vector quantizer at the reference's
+recommended vq_kwargs — codebook_size=65536, codebook_dim=256, decay=0.8,
+kmeans_init=True, use_cosine_sim=True (reference vqgan_vae.py:297-303; that
+construction is dead code upstream due to the B2 missing-comma bug — here it
+runs) — for a few hundred real-TPU steps on synthetic data. Validates, at
+full K, the pieces the unit suite only covers at K=64:
+
+  * kmeans codebook init on the first batch;
+  * EMA updates + Laplace smoothing at (65536, 256);
+  * dead-code revival (threshold_ema_dead_code=2);
+  * the fused Pallas distance+argmax search (`ops/vq.py`) at K=65536.
+
+Prints a summary (stderr) + one JSON line (stdout) with loss trajectory and
+codebook-usage statistics for BASELINE.md.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+class SyntheticImages:
+    """Smooth random gradients + disks: enough structure for VQ to learn."""
+
+    def __init__(self, n=512, size=128, seed=0):
+        rng = np.random.default_rng(seed)
+        xs = np.linspace(0, 1, size)
+        gx, gy = np.meshgrid(xs, xs, indexing="ij")
+        imgs = np.empty((n, size, size, 3), np.float32)
+        for i in range(n):
+            fx, fy, ph = rng.uniform(0.5, 4, 2).tolist() + [rng.uniform(0, 6)]
+            base = 0.5 + 0.5 * np.sin(2 * np.pi * (fx * gx + fy * gy) + ph)
+            cx, cy, r = rng.uniform(0.2, 0.8, 2).tolist() + [rng.uniform(0.05, 0.3)]
+            disk = ((gx - cx) ** 2 + (gy - cy) ** 2 < r**2).astype(np.float32)
+            col = rng.uniform(0, 1, 3)
+            imgs[i] = np.clip(
+                base[..., None] * col + disk[..., None] * rng.uniform(-0.5, 0.5, 3),
+                0,
+                1,
+            )
+        self.data = imgs
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+    from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer
+
+    log(f"backend: {jax.default_backend()}")
+
+    image_size, batch, steps = 128, 16, 300
+    vae = VQGanVAE(
+        dim=64,
+        layers=2,  # fmap 32 -> 1024 tokens/img, 16384 vectors/step at batch 16
+        codebook_size=65536,
+        lookup_free_quantization=False,
+        vq_kwargs=dict(
+            codebook_dim=256,
+            decay=0.8,
+            commitment_weight=1.0,
+            kmeans_init=True,
+            use_cosine_sim=True,
+            threshold_ema_dead_code=2.0,
+        ),
+        use_vgg_and_gan=False,  # isolate the quantizer objective
+        rngs=nnx.Rngs(0),
+    )
+
+    trainer = VQGanVAETrainer(
+        vae,
+        folder=None,
+        dataset=SyntheticImages(512, image_size),
+        num_train_steps=steps,
+        batch_size=batch,
+        image_size=image_size,
+        lr=1e-3,
+        valid_frac=0.0,
+        use_ema=False,
+        save_results_every=10**9,
+        save_model_every=10**9,
+        results_folder="/tmp/ema-vq-scale",
+    )
+
+    losses = []
+    t0 = time.perf_counter()
+
+    def on_log(logs):
+        losses.append(logs["loss"])
+        if len(losses) % 50 == 1:
+            log(f"step {len(losses) - 1}: loss {logs['loss']:.4f}")
+
+    trainer.train(on_log)
+    wall = time.perf_counter() - t0
+
+    # codebook usage: encode the full dataset once, count distinct codes
+    q = vae.quantizer
+    used = set()
+
+    @jax.jit
+    def encode_ids(img):
+        return vae.encode(img, train=False)[1]
+
+    ds = trainer.ds if hasattr(trainer, "ds") else None
+    data = SyntheticImages(256, image_size, seed=1).data  # held-out
+    for i in range(0, len(data), batch):
+        ids = np.asarray(encode_ids(jnp.asarray(data[i : i + batch])))
+        used.update(np.unique(ids).tolist())
+
+    cs = np.asarray(q.cluster_size[...])
+    alive = int((cs >= 2.0).sum())
+    first, last = float(np.mean(losses[:10])), float(np.mean(losses[-10:]))
+    result = {
+        "metric": "EMA-VQ production scale (K=65536, d=256, cosine, kmeans, revival)",
+        "steps": steps,
+        "recon_loss_first10": round(first, 4),
+        "recon_loss_last10": round(last, 4),
+        "loss_ratio": round(last / first, 4),
+        "codes_used_heldout_262k_tokens": len(used),
+        "codes_alive_by_ema_threshold": alive,
+        "cluster_size_p50": round(float(np.percentile(cs, 50)), 4),
+        "cluster_size_p99": round(float(np.percentile(cs, 99)), 4),
+        "wall_seconds": round(wall, 1),
+        "steps_per_sec": round(steps / wall, 3),
+    }
+    log(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

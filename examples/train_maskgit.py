@@ -82,7 +82,6 @@ def main():
     ds = CaptionedImageDataset(args.folder, args.image_size)
 
     def batches():
-        it = cycle(DataLoader(ds, args.batch_size, shuffle=True))
         # DataLoader stacks (image, caption) pairs awkwardly; iterate manually
         import random
 

@@ -191,8 +191,10 @@ class MaskGit(nnx.Module):
 
         use_token_critic = exists(self.token_critic) and not force_not_use_token_critic
 
-        if injected_gumbel_noise is not None:
-            sampler = "xla"  # injected noise drives the XLA sampling path
+        if injected_gumbel_noise is not None and sampler == "auto":
+            # injected noise defaults to the XLA path; sampler="fused" may be
+            # forced explicitly to parity-pin the fused kernel itself
+            sampler = "xla"
         elif sampler == "auto":
             # the fused Pallas sampler pays off when the top-k filter would
             # otherwise sort a large vocabulary (see ops/sampling_kernel.py)
@@ -535,7 +537,16 @@ def _generate_jit(
             k = max(_math.ceil((1 - topk_filter_thres) * vocab), 1)
             seed = jax.random.randint(k_gumbel, (), 0, jnp.iinfo(jnp.int32).max)
             pred_flat, chosen_flat = fused_topk_gumbel_sample(
-                logits.reshape(batch * seq_len, vocab), k, temp, seed
+                logits.reshape(batch * seq_len, vocab),
+                k,
+                temp,
+                seed,
+                # parity harness: pre-drawn noise overrides the on-core PRNG
+                noise=(
+                    g_inj.reshape(batch * seq_len, vocab) if has_injected else None
+                ),
+                # the kernel is TPU Mosaic; CPU runs use the TPU interpreter
+                interpret=jax.default_backend() != "tpu",
             )
             pred_ids = pred_flat.reshape(batch, seq_len)
             chosen_prob = chosen_flat.reshape(batch, seq_len)

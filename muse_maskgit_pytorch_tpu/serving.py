@@ -82,10 +82,16 @@ class GeneratePipeline:
         return key
 
     def _neg_embeds(self):
+        # the negative prompt is fixed per pipeline: encode it once, not per
+        # batch chunk (T5 forward on every request would dominate short jobs)
         if self.negative_prompt is None:
             return None
-        embeds, _ = self._encode_prompts([self.negative_prompt] * self.batch_size)
-        return embeds
+        if not hasattr(self, "_neg_embeds_cache"):
+            embeds, _ = self._encode_prompts(
+                [self.negative_prompt] * self.batch_size
+            )
+            self._neg_embeds_cache = embeds
+        return self._neg_embeds_cache
 
     def _generate_batch(self, embeds, mask):
         key = self._next_key()

@@ -56,7 +56,17 @@ def _put_microbatched(arr, mesh):
     if getattr(mesh, "size", 1) <= 1 or DATA_AXIS not in mesh.shape:
         return arr
     if arr.shape[1] % mesh.shape[DATA_AXIS] != 0:
-        return arr  # batch not divisible: leave placement to the compiler
+        # batch not divisible by the data axis: the compiler will replicate,
+        # silently forfeiting data parallelism — make the 8x cliff audible
+        import warnings
+
+        warnings.warn(
+            f"batch {arr.shape[1]} not divisible by data-parallel size "
+            f"{mesh.shape[DATA_AXIS]}; batch left UNSHARDED (replicated). "
+            "Pick batch_size divisible by the mesh's data axis.",
+            stacklevel=3,
+        )
+        return arr
     spec = P(None, DATA_AXIS, *([None] * (arr.ndim - 2)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
 from muse_maskgit_pytorch_tpu.training.data import (

