@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from muse_maskgit_pytorch_tpu.ops.attention import attend
+from muse_maskgit_pytorch_tpu.ops.attention import attend, qknorm_attend
 from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
 
 Array = jax.Array
@@ -119,11 +119,53 @@ class Attention(nnx.Module):
 
         x = self.norm(x)
         kv_input = context if self.cross_attend else x
+        m = kv_input.shape[1]
+
+        if impl == "auto":
+            # the fused qk-norm kernel (norm + scales + null-KV + softmax in
+            # ONE pallas_call over the raw projections, all heads + several
+            # batch rows per program) cut the r1 integration overhead ~6x and
+            # now WINS end-to-end at the super-res shapes (kv 1025/1281:
+            # 10.48 vs 10.18 img/s) — both attention shapes of the cascade's
+            # second stage run it. At the base stage's short kv (257/321)
+            # XLA's attention emitter is still ~5% faster end-to-end
+            # (BASELINE.md r2 A/B); dispatch on measured crossover kv ~768.
+            impl = (
+                "flash"
+                if (
+                    self.flash
+                    and jax.default_backend() == "tpu"
+                    and kv_input.shape[1] >= 768
+                )
+                else "xla"
+            )
+
+        if impl == "flash":
+            # fused path: raw (b, n|m, h, d) projections straight into the
+            # kernel; everything else happens in VMEM (ops/attention.py)
+            q = self.to_q(x).reshape(b, n, h, d)
+            kv = self.to_kv(kv_input)
+            k, v = jnp.split(kv, 2, axis=-1)
+            k = k.reshape(b, m, h, d)
+            v = v.reshape(b, m, h, d)
+            null_kv = self.null_kv[...]
+            out = qknorm_attend(
+                q,
+                k,
+                v,
+                null_k=null_kv[0, :, 0, :].astype(k.dtype),
+                null_v=null_kv[1, :, 0, :].astype(v.dtype),
+                q_scale=self.q_scale[...],
+                k_scale=self.k_scale[...],
+                mask=context_mask,
+                scale=self.scale,
+                impl="flash",
+            )
+            return self.to_out(out.reshape(b, n, h * d))
 
         q = self.to_q(x).reshape(b, n, h, d).transpose(0, 2, 1, 3)
         kv = self.to_kv(kv_input)
         k, v = jnp.split(kv, 2, axis=-1)
-        m = kv_input.shape[1]
         k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
 
@@ -141,19 +183,6 @@ class Attention(nnx.Module):
             # null-KV position is always attendable (reference :155-157)
             mask = jnp.pad(context_mask, ((0, 0), (1, 0)), constant_values=True)
 
-        if impl == "auto":
-            # measured on v5e: the Pallas flash kernel wins ISOLATED
-            # microbenches at every model shape, but INSIDE the decode scan
-            # each pallas_call is a fusion barrier costing ~0.4 ms (16 calls x
-            # 18 steps), so XLA attention is faster end-to-end until the raw
-            # kernel win exceeds that (kv ~> 2k; interleaved A/B in
-            # BASELINE.md). Dispatch accordingly.
-            kv_len = k.shape[2]
-            impl = (
-                "flash"
-                if (self.flash and jax.default_backend() == "tpu" and kv_len > 2048)
-                else "xla"
-            )
         out = attend(q, k, v, mask=mask, scale=self.scale, impl=impl)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)

@@ -215,6 +215,256 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fully-fused qk-norm attention (the models' production path)
+# ---------------------------------------------------------------------------
+#
+# The plain flash kernel above loses end-to-end below kv ~2k despite winning
+# every isolated microbench (BASELINE.md r1): each pallas_call is a fusion
+# barrier, so the surrounding elementwise chain — head transpose, null-KV
+# concat, q/k l2norm, learned per-dim scales — becomes separate XLA fusions
+# with their own HBM round-trips. This kernel erases that integration cost by
+# consuming the RAW projection outputs in (b, n, h, d) layout and doing the
+# whole chain in VMEM:
+#   * q/k l2-normalization (f32) + learned q_scale/k_scale + fixed softmax
+#     scale (reference muse_maskgit_pytorch.py:121-122,151-153);
+#   * the per-head learned null KV pair as the online-softmax init state
+#     (reference :145-149; always attendable, :155-157) — no concat/copy of
+#     the full K/V;
+#   * additive key bias (context mask) + online-softmax flash attention.
+# One HBM read of q/k/v, one write of o, zero intermediate passes.
+
+
+def _qknorm_kernel(
+    q_ref, k_ref, v_ref, nk_ref, nv_ref, qs_ref, ks_ref, bias_ref, o_ref,
+    *, scale: float, block_b: int
+):
+    """One (batch, q-block) program covering ALL heads.
+
+    Folding the head loop INSIDE the program (statically unrolled — h is
+    small) is the key to beating XLA at this model's short kv lengths: a
+    (b*h, q-block) grid puts hundreds of micro-programs on the ONE
+    sequential TensorCore and the per-program overhead (~0.4 ms/call
+    aggregate, measured r1 AND re-measured after full elementwise fusion)
+    dominates the math. With heads inside, the grid is (b, n/block_q)
+    programs, each doing h MXU dot pairs over kv resident in VMEM — and the
+    kernel consumes the projections' NATIVE (b, n, h, d) layout, so no
+    transposes exist anywhere in the attention op."""
+    hd = q_ref.shape[2]
+    d = qs_ref.shape[1]
+    h = hd // d
+    dot_dtype = k_ref.dtype
+
+    for ib in range(block_b):  # static unroll over batch rows in the program
+        bias = bias_ref[ib, 0][None, :].astype(jnp.float32)  # (1, m_pad)
+        outs = []
+        for ih in range(h):  # static unroll; static lane slices per head
+            q = q_ref[ib, :, ih * d : (ih + 1) * d].astype(jnp.float32)  # (bq, d)
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+            # fold the learned per-dim scale AND the fixed softmax scale into q
+            q = (q * (qs_ref[0].astype(jnp.float32) * scale)).astype(dot_dtype)
+
+            k_all = k_ref[ib, :, ih * d : (ih + 1) * d].astype(jnp.float32)  # (m_pad, d)
+            k_all = k_all * jax.lax.rsqrt(
+                jnp.sum(k_all * k_all, axis=-1, keepdims=True) + 1e-12
+            )
+            k_all = (k_all * ks_ref[0].astype(jnp.float32)).astype(dot_dtype)
+            v_all = v_ref[ib, :, ih * d : (ih + 1) * d]
+
+            s = jax.lax.dot_general(
+                q, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (bq, m_pad) f32
+            s = s + bias
+
+            # null position (always attendable, bias 0) — multiply-reduce on
+            # the VPU (a (1, d) dot operand trips a Mosaic bf16-broadcast bug)
+            nk = nk_ref[0, ih * d : (ih + 1) * d].astype(jnp.float32)
+            nk = nk * jax.lax.rsqrt(jnp.sum(nk * nk) + 1e-12)
+            nk = nk * ks_ref[0].astype(jnp.float32)
+            s0 = jnp.sum(
+                q.astype(jnp.float32) * nk[None, :], axis=-1, keepdims=True
+            )  # (bq, 1)
+
+            m_i = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s0)
+            p = jnp.exp(s - m_i)  # (bq, m_pad)
+            p0 = jnp.exp(s0 - m_i)  # (bq, 1)
+            l_i = jnp.sum(p, axis=-1, keepdims=True) + p0
+            acc = jax.lax.dot_general(
+                p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + p0 * nv_ref[0, ih * d : (ih + 1) * d].astype(jnp.float32)[None, :]
+            outs.append((acc / l_i).astype(o_ref.dtype))
+
+        o_ref[ib] = jnp.concatenate(outs, axis=-1)  # (bq, h*d)
+
+
+def _qknorm_xla(q, k, v, nk, nv, q_scale, k_scale, bias, scale):
+    """Reference semantics of the fused kernel in plain XLA ops (CPU path,
+    VJP recompute, and the kernel's parity oracle). Layout (b, n, h, d)."""
+
+    def norm(t):
+        t32 = t.astype(jnp.float32)
+        return t32 * jax.lax.rsqrt(
+            jnp.sum(t32 * t32, axis=-1, keepdims=True) + 1e-12
+        )
+
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    qn = norm(q) * (q_scale * scale)
+    kn = norm(k) * k_scale
+    nkn = norm(nk) * k_scale  # (h, d)
+    sim = jnp.einsum("bnhd,bmhd->bhnm", qn, kn)
+    sim = sim + bias[:, None, None, :]
+    s0 = jnp.einsum("bnhd,hd->bhn", qn, nkn)[..., None]  # null position
+    full = jnp.concatenate([s0, sim], axis=-1)
+    attn = jax.nn.softmax(full, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn[..., 1:], v.astype(jnp.float32))
+    out = out + attn[..., :1].transpose(0, 2, 1, 3) * nv.astype(jnp.float32)[
+        None, None, :, :
+    ]
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret):
+    b, n, h, d = q.shape
+    m = k.shape[1]
+
+    n_pad = _round_up(n, block_q)
+    m_pad = _round_up(m, 128)
+
+    # 3D (b, len, h*d) operands: Mosaic handles static lane slices per head,
+    # while 4D blocks with per-head indexing fail to lower (unit middle dims
+    # / in-kernel 4D reshapes). The flatten from (b, len, h, d) is a view.
+    qf = q.reshape(b, n, h * d)
+    kf = k.reshape(b, m, h * d)
+    vf = v.reshape(b, m, h * d)
+    if n_pad != n:
+        qf = jnp.pad(qf, ((0, 0), (0, n_pad - n), (0, 0)))
+    if m_pad != m:
+        kf = jnp.pad(kf, ((0, 0), (0, m_pad - m), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, m_pad - m), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, m_pad - m)), constant_values=NEG_INF)
+
+    # batch rows per program: amortize per-program overhead under a ~6 MB
+    # VMEM budget for the K/V blocks (the grid's one TensorCore runs programs
+    # sequentially — fewer, fatter programs win at short kv)
+    kv_bytes_per_row = 2 * m_pad * h * d * q.dtype.itemsize
+    block_b = max(1, min(b, int(6e6) // kv_bytes_per_row, 4))
+    while b % block_b:
+        block_b -= 1
+
+    grid = (b // block_b, n_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_qknorm_kernel, scale=scale, block_b=block_b),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, h * d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, block_q, h * d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, m_pad, h * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, m_pad, h * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, m_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_q, h * d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pad * m_pad * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * m_pad,
+        ),
+        interpret=interpret,
+    )(
+        qf,
+        kf,
+        vf,
+        nk.reshape(1, h * d),
+        nv.reshape(1, h * d),
+        qs.reshape(1, -1),
+        ks.reshape(1, -1),
+        bias.reshape(b, 1, m_pad),
+    )
+
+    return out[:, :n].reshape(b, n, h, d)
+
+
+def _qknorm_fwd(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret):
+    out = _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret)
+    return out, (q, k, v, nk, nv, qs, ks, bias)
+
+
+def _qknorm_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, nk, nv, qs, ks, bias = res
+
+    def ref(q, k, v, nk, nv, qs, ks):
+        return _qknorm_xla(q, k, v, nk, nv, qs, ks, bias, scale)
+
+    _, vjp = jax.vjp(ref, q, k, v, nk, nv, qs, ks)
+    dq, dk, dv, dnk, dnv, dqs, dks = vjp(g)
+    return dq, dk, dv, dnk, dnv, dqs, dks, None
+
+
+_qknorm_flash.defvjp(_qknorm_fwd, _qknorm_bwd)
+
+
+def qknorm_attend(
+    q: Array,
+    k: Array,
+    v: Array,
+    null_k: Array,
+    null_v: Array,
+    q_scale: Array,
+    k_scale: Array,
+    mask: Optional[Array] = None,
+    scale: float = 8.0,
+    impl: str = "auto",
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Fused qk-l2norm attention with a learned null KV pair.
+
+    The models' attention (reference muse_maskgit_pytorch.py:91-162) as ONE
+    kernel. q: (b, n, h, d), k/v: (b, m, h, d) — RAW projection outputs
+    (pre-norm, head dim unsplit-transposed); null_k/null_v: (h, d);
+    q_scale/k_scale: (d,); mask: bool (b, m) over REAL kv positions (the null
+    position is always attendable). Returns (b, n, h, d).
+    """
+    b, n, h, d = q.shape
+    m = k.shape[1]
+
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+
+    if mask is None:
+        bias = jnp.zeros((b, m), jnp.float32)
+    else:
+        bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+
+    if impl == "xla":
+        return _qknorm_xla(q, k, v, null_k, null_v, q_scale, k_scale, bias, scale)
+
+    assert impl == "flash"
+    block_q = min(block_q, _round_up(n, 8))
+    block_k = min(block_k, _round_up(m, 128))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _qknorm_flash(
+        q, k, v, null_k, null_v,
+        q_scale.astype(jnp.float32), k_scale.astype(jnp.float32),
+        bias, float(scale), block_q, block_k, interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public entry point
 # ---------------------------------------------------------------------------
 

@@ -89,6 +89,15 @@ from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
 Array = jax.Array
 
 
+@functools.partial(jax.jit, static_argnames=("graphdef",))
+def _eval_recon_jit(graphdef, states, images):
+    """Eval-grid reconstruction forward, clipped to [0, 1]. Params enter as
+    ARGUMENTS (not jit-closure constants), so one compilation serves every
+    eval and the tunnel never ships weights inside the HLO."""
+    model = nnx.merge(graphdef, *states)
+    return jnp.clip(model(images, train=False), 0.0, 1.0)
+
+
 def _make_optimizer(lr: float, max_grad_norm: Optional[float]):
     chain = []
     if exists(max_grad_norm):
@@ -388,16 +397,32 @@ class VQGanVAETrainer:
         else:
             self.print(f"{steps}: vae loss: {logs['loss']}")
 
-        # periodic eval reconstruction grids (reference trainers.py:361-389)
+        # periodic eval reconstruction grids (reference trainers.py:361-389);
+        # the recon forward runs through one cached jit (params as arguments)
+        # rather than an eager module call per eval
         if steps % self.save_results_every == 0:
-            models_to_eval = [(self.vae_module(use_ema=False), str(steps))]
+            evals = [(False, str(steps))]
             if self.use_ema:
-                models_to_eval.insert(0, (self.vae_module(use_ema=True), f"{steps}.ema"))
+                evals.insert(0, (True, f"{steps}.ema"))
             valid_data = jnp.asarray(next(self.valid_dl_iter))
-            for model, filename in models_to_eval:
-                recons = model(valid_data, train=False)
+            for use_ema, filename in evals:
+                gen = (
+                    self.state["ema"]
+                    if (use_ema and self.use_ema)
+                    else self.state["gen_params"]
+                )
+                recons = _eval_recon_jit(
+                    self.graphdef,
+                    (
+                        self.state["discr_params"],
+                        self.state["vgg_params"],
+                        gen,
+                        self.state["rest"],
+                    ),
+                    valid_data,
+                )
                 stacked = np.stack(
-                    [np.asarray(valid_data), np.clip(np.asarray(recons), 0, 1)], axis=1
+                    [np.asarray(valid_data), np.asarray(recons)], axis=1
                 ).reshape(-1, *valid_data.shape[1:])
                 grid = make_grid(stacked, nrow=2)
                 save_image(grid, self.results_folder / f"{filename}.png")
