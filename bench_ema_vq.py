@@ -109,18 +109,21 @@ def main():
     trainer.train(on_log)
     wall = time.perf_counter() - t0
 
-    # codebook usage: encode the full dataset once, count distinct codes
+    # codebook usage: encode a held-out set once, count distinct codes.
+    # NOTE: the trainer's donated jit consumed the ORIGINAL module's arrays;
+    # rebuild a live module from the trainer's state.
+    vae = trainer.vae_module(use_ema=False)
     q = vae.quantizer
     used = set()
+    graphdef, vstate = nnx.split(vae)
 
     @jax.jit
-    def encode_ids(img):
-        return vae.encode(img, train=False)[1]
+    def encode_ids(vstate, img):
+        return nnx.merge(graphdef, vstate).encode(img, train=False)[1]
 
-    ds = trainer.ds if hasattr(trainer, "ds") else None
     data = SyntheticImages(256, image_size, seed=1).data  # held-out
     for i in range(0, len(data), batch):
-        ids = np.asarray(encode_ids(jnp.asarray(data[i : i + batch])))
+        ids = np.asarray(encode_ids(vstate, jnp.asarray(data[i : i + batch])))
         used.update(np.unique(ids).tolist())
 
     cs = np.asarray(q.cluster_size[...])

@@ -150,11 +150,22 @@ def nearest_code(
     codebook: Array,
     cb_sq: Optional[Array] = None,
     impl: str = "auto",
+    interpret: bool = False,
 ) -> Array:
-    """Dispatch: Pallas on TPU, XLA elsewhere. x: (n, d) -> (n,) int32."""
+    """Dispatch: Pallas on TPU, XLA elsewhere. x: (n, d) -> (n,) int32.
+
+    The result is a discrete argmax — gradient-free by definition — so the
+    Pallas branch runs under stop_gradient: without it, calling the search
+    inside a differentiated loss (the EMA-VQ commit term in the GAN train
+    step) trips pallas_call's missing JVP rule on TPU."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return nearest_code_xla(x, codebook, cb_sq)
     assert impl == "pallas"
-    return nearest_code_pallas(x, codebook, cb_sq)
+    return nearest_code_pallas(
+        jax.lax.stop_gradient(x),
+        jax.lax.stop_gradient(codebook),
+        None if cb_sq is None else jax.lax.stop_gradient(cb_sq),
+        interpret=interpret,
+    )

@@ -195,3 +195,29 @@ def test_ema_vq_production_scale():
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
     # assignments use many distinct codes (kmeans seeded from 2048 rows)
     assert len(np.unique(np.asarray(ids))) > 256
+
+
+def test_nearest_code_pallas_under_grad(rng):
+    """The EMA-VQ commit loss differentiates THROUGH code that calls the
+    search (indices are discrete; gradient must flow around, not through).
+    Round 2 regression: on TPU the Pallas branch crashed jax.grad with
+    pallas_call's missing JVP rule — caught only at production scale because
+    CPU tests dispatch to XLA. `nearest_code` now stop_gradients the Pallas
+    branch; this drives it under grad via the interpreter."""
+    from muse_maskgit_pytorch_tpu.ops.vq import nearest_code
+
+    k1, k2 = jax.random.split(rng)
+    x = jax.random.normal(k1, (32, 16))
+    cb = jax.random.normal(k2, (64, 16))
+
+    def loss(x, cb):
+        idx = nearest_code(x, cb, impl="pallas", interpret=True)
+        quant = cb[idx]
+        # straight-through commit term, as in VectorQuantizeEMA.__call__
+        return jnp.mean(jnp.square(jax.lax.stop_gradient(quant) - x))
+
+    g = jax.grad(loss, argnums=(0, 1))(x, cb)
+    assert np.isfinite(np.asarray(g[0])).all()
+    ref_idx = np.asarray(nearest_code(x, cb, impl="xla"))
+    out_idx = np.asarray(nearest_code(x, cb, impl="pallas", interpret=True))
+    np.testing.assert_array_equal(out_idx, ref_idx)
