@@ -3,10 +3,9 @@
 Headline metric (BASELINE.json): images/sec/chip for 256px base MaskGit
 sampling (18 decode steps, CFG cond_scale 3 → doubled-batch forwards) at the
 reference-recommended scale (transformer dim 512 / depth 8 / seq 256 / vocab
-65536 — reference README.md:61-70; VAE dim 128 / 4 layers, see BASELINE.md for
-the dim-256 note). Also measures VQ encode / decode ms/image and the full
-text→512px two-stage cascade (the literal north-star config). Prints ONE JSON
-line:
+65536, VAE dim 256 / 4 layers — reference README.md:29-70). Also measures VQ
+encode / decode ms/image and the full text→512px two-stage cascade (the
+literal north-star config). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 vs_baseline is against the north-star target of 4 images/sec/chip.
 """
@@ -22,6 +21,16 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache: the full generate scan's first compile can
+    # take minutes over the tunnel; cache hits make repeat runs (driver
+    # re-benches every round) near-instant. Harmless if the backend declines.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
     from flax import nnx
 
@@ -32,14 +41,18 @@ def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    batch = 16  # throughput knee: 28.9 img/s at b8, ~34 at b16/b32
+    batch = 32  # r2 knee: 46.7 img/s at b16, 58 at b32, 46.6 at b64
     timesteps = 18
     image_size = 256
     dtype = jnp.bfloat16
 
     log("building models...")
+    # dim 256 is the reference-recommended VAE scale (README.md:29). It is
+    # benchmarkable over the tunnel ONLY with params as jit arguments —
+    # closing over the module in jax.jit embeds 325M params as HLO constants
+    # and trips the tunnel's compile-request cap (r1's HTTP 413).
     vae = VQGanVAE(
-        dim=128,
+        dim=256,
         layers=4,
         codebook_size=65536,
         use_vgg_and_gan=False,
@@ -88,30 +101,31 @@ def main():
     images_per_sec = batch * n_runs / elapsed
     log(f"{n_runs} runs of batch {batch} in {elapsed:.2f}s -> {images_per_sec:.2f} img/s/chip (checksum {checksum:.1f})")
 
-    # secondary: VQ encode/decode ms per image
+    # secondary: VQ encode/decode ms per image (params as jit args, see above)
     img_batch = jax.random.uniform(jax.random.PRNGKey(3), (batch, image_size, image_size, 3))
+    vae_graphdef, vae_state = nnx.split(maskgit.vae)
 
     @jax.jit
-    def enc(img):
-        return maskgit.vae.encode(img, train=False)[1]
+    def enc(state, img):
+        return nnx.merge(vae_graphdef, state).encode(img, train=False)[1]
 
-    ids = enc(img_batch)
+    ids = enc(vae_state, img_batch)
     _ = float(ids.sum())
     t0 = time.perf_counter()
     for _ in range(10):
-        ids = enc(img_batch)
+        ids = enc(vae_state, img_batch)
         _ = float(ids.sum())
     enc_ms = (time.perf_counter() - t0) / 10 / batch * 1000
 
     @jax.jit
-    def dec(ids):
-        return maskgit.vae.decode_from_ids(ids)
+    def dec(state, ids):
+        return nnx.merge(vae_graphdef, state).decode_from_ids(ids)
 
-    out = dec(ids)
+    out = dec(vae_state, ids)
     _ = float(out.sum())
     t0 = time.perf_counter()
     for _ in range(10):
-        out = dec(ids)
+        out = dec(vae_state, ids)
         _ = float(out.sum())
     dec_ms = (time.perf_counter() - t0) / 10 / batch * 1000
     log(f"VQ encode {enc_ms:.2f} ms/img, decode {dec_ms:.2f} ms/img")
@@ -176,6 +190,7 @@ def main():
             "backend": backend,
             "batch": batch,
             "timesteps": timesteps,
+            "vae_dim": 256,
             "vq_encode_ms_per_image": round(enc_ms, 3),
             "vq_decode_ms_per_image": round(dec_ms, 3),
             "cascade_text_to_512px_img_per_sec_chip": round(cascade_img_s, 3),

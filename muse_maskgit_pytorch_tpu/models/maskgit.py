@@ -505,6 +505,9 @@ def _generate_jit(
         remask = mask_by_topk_scores(scores, num_token_masked)
         ids = jnp.where(remask, mask_id, ids)
 
+        # the fused sampler combines the CFG pair in ITS kernel (one less
+        # full-vocab HBM pass per step); other samplers take combined logits
+        fuse_cfg = sampler == "fused" and cond_scale != 1
         logits, embed = demask_fn(
             ids,
             text_embeds=text_embeds,
@@ -513,6 +516,7 @@ def _generate_jit(
             conditioning_token_ids=cond_ids,
             cond_scale=cond_scale,
             return_embed=True,
+            return_raw_double=fuse_cfg,
             attn_impl=attn_impl,
         )
         new_self_cond = (
@@ -525,8 +529,9 @@ def _generate_jit(
         temp = temperature * (steps_left.astype(jnp.float32) / timesteps)
 
         if sampler == "fused":
-            # one-pass Pallas kernel: top-k threshold + gumbel + argmax +
-            # chosen-softmax-prob, logits read from HBM exactly once
+            # one-pass Pallas kernel: (CFG combine +) top-k threshold +
+            # gumbel + argmax + chosen-softmax-prob, logits read from HBM
+            # exactly once
             import math as _math
 
             from muse_maskgit_pytorch_tpu.ops.sampling_kernel import (
@@ -536,8 +541,9 @@ def _generate_jit(
             vocab = logits.shape[-1]
             k = max(_math.ceil((1 - topk_filter_thres) * vocab), 1)
             seed = jax.random.randint(k_gumbel, (), 0, jnp.iinfo(jnp.int32).max)
+            rows = (2 * batch if fuse_cfg else batch) * seq_len
             pred_flat, chosen_flat = fused_topk_gumbel_sample(
-                logits.reshape(batch * seq_len, vocab),
+                logits.reshape(rows, vocab),
                 k,
                 temp,
                 seed,
@@ -547,6 +553,8 @@ def _generate_jit(
                 ),
                 # the kernel is TPU Mosaic; CPU runs use the TPU interpreter
                 interpret=jax.default_backend() != "tpu",
+                cfg_pair=fuse_cfg,
+                cond_scale=float(cond_scale),
             )
             pred_ids = pred_flat.reshape(batch, seq_len)
             chosen_prob = chosen_flat.reshape(batch, seq_len)

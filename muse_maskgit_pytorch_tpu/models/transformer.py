@@ -319,12 +319,18 @@ class Transformer(nnx.Module):
         conditioning_token_ids: Optional[Array] = None,
         self_cond_embed: Optional[Array] = None,
         attn_impl: str = "auto",
+        return_raw_double: bool = False,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
         The null half zeroes only the TEXT mask; conditioning image tokens
         stay attendable, matching the reference's order of operations
-        (:308-318)."""
+        (:308-318).
+
+        `return_raw_double=True` skips the combine and returns the raw
+        doubled-batch logits (cond rows then null rows) plus the cond-half
+        embed — for consumers that fuse the CFG combine downstream (the
+        Pallas sampling kernel combines in VMEM)."""
         if cond_scale == 1:
             return self(
                 x,
@@ -352,6 +358,8 @@ class Transformer(nnx.Module):
             return_embed=True,
             attn_impl=attn_impl,
         )
+        if return_raw_double:
+            return logits2, embed2[:b]
         cond_logits, null_logits = logits2[:b], logits2[b:]
         scaled_logits = null_logits + (cond_logits - null_logits) * cond_scale
         if return_embed:
@@ -371,9 +379,12 @@ class Transformer(nnx.Module):
         conditioning_token_ids: Optional[Array] = None,
         self_cond_embed: Optional[Array] = None,
         attn_impl: str = "auto",
+        return_raw_double: bool = False,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
-        version raises at runtime — B1; built working here.)"""
+        version raises at runtime — B1; built working here.)
+        `return_raw_double` as in `forward_with_cond_scale` (pos rows then
+        neg rows)."""
         b = x.shape[0]
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
@@ -408,6 +419,8 @@ class Transformer(nnx.Module):
             return_embed=True,
             attn_impl=attn_impl,
         )
+        if return_raw_double:
+            return logits2, embed2[:b]
         pos_logits, neg_logits = logits2[:b], logits2[b:]
         scaled_logits = neg_logits + (pos_logits - neg_logits) * cond_scale
         if return_embed:

@@ -113,6 +113,48 @@ def test_injected_noise_matches_xla_oracle():
     )
 
 
+def test_cfg_pair_matches_external_combine():
+    """cfg_pair=True (CFG combine inside the kernel) == combining the halves
+    in XLA then sampling, under the same injected noise."""
+    from muse_maskgit_pytorch_tpu.utils.sampling import gumbel_noise
+
+    rows, V, k, scale = 64, 256, 26, 3.0
+    cond = _logits(rows, V, seed=11)
+    null = _logits(rows, V, seed=12)
+    g = gumbel_noise(jax.random.PRNGKey(4), (rows, V))
+
+    combined = null + (cond - null) * scale
+    idx_ref, prob_ref = fused_topk_gumbel_sample(
+        combined, k, jnp.float32(1.0), jnp.int32(0), noise=g, interpret=True
+    )
+    idx_f, prob_f = fused_topk_gumbel_sample(
+        jnp.concatenate([cond, null], axis=0), k, jnp.float32(1.0), jnp.int32(0),
+        noise=g, interpret=True, cfg_pair=True, cond_scale=scale,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob_ref), rtol=1e-4)
+
+
+def test_cfg_pair_padded_rows():
+    # row count not a multiple of block_rows exercises the split-halves pad
+    from muse_maskgit_pytorch_tpu.utils.sampling import gumbel_noise
+
+    rows, V, k, scale = 13, 128, 13, 2.0
+    cond = _logits(rows, V, seed=13)
+    null = _logits(rows, V, seed=14)
+    g = gumbel_noise(jax.random.PRNGKey(5), (rows, V))
+    combined = null + (cond - null) * scale
+    idx_ref, _ = fused_topk_gumbel_sample(
+        combined, k, jnp.float32(0.5), jnp.int32(0), noise=g, interpret=True
+    )
+    idx_f, _ = fused_topk_gumbel_sample(
+        jnp.concatenate([cond, null], axis=0), k, jnp.float32(0.5), jnp.int32(0),
+        noise=g, interpret=True, cfg_pair=True, cond_scale=scale,
+    )
+    assert idx_f.shape == (rows,)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_ref))
+
+
 def test_full_decode_fused_vs_xla_token_parity():
     """The PRODUCTION path: the full jitted decode scan with the fused Pallas
     sampler must match the XLA decode token-for-token under the same injected
