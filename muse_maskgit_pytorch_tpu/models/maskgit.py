@@ -149,13 +149,22 @@ class MaskGit(nnx.Module):
         sampler: str = "auto",
         injected_gumbel_noise: Optional[Array] = None,
         progress: bool = False,
+        compact: Union[bool, str] = "auto",
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted.
 
         `progress=True` prints a host-side line per decode step via
         `jax.debug.callback` (role of the reference's tqdm bar,
         muse_maskgit_pytorch.py:22,556 — off by default: each callback is a
-        host round-trip)."""
+        host round-trip).
+
+        `compact` ("auto"/bool): segmented compact decode — the vocab-sized
+        logits head and the sampler run only on each step's masked positions
+        (a static count under the schedule; see `_compact_segments`).
+        Token-exact vs the full path (tests/test_compact_decode.py);
+        ~+10% img/s at the reference scale on v5e. Auto-disabled when
+        `can_remask_prev_masked` needs real confidences at unmasked
+        positions without a critic."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         fmap_size = default(
             fmap_size,
@@ -205,6 +214,20 @@ class MaskGit(nnx.Module):
                 else "xla"
             )
 
+        if compact == "auto":
+            # compact decode is exact unless unmasked positions need real
+            # confidence scores (can_remask with the default scorer); the
+            # full-seq critic path is compatible
+            compact = timesteps > 1 and (
+                use_token_critic or not can_remask_prev_masked
+            )
+
+        segments = None
+        if compact and timesteps > 1:
+            segments = _compact_segments(
+                self.noise_schedule, fmap_size * fmap_size, timesteps
+            )
+
         graphdef, state = nnx.split(self)
         ids, images = _generate_jit(
             graphdef,
@@ -226,6 +249,7 @@ class MaskGit(nnx.Module):
             attn_impl=attn_impl,
             sampler=sampler,
             progress=progress,
+            segments=segments,
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -395,6 +419,40 @@ class MaskGit(nnx.Module):
         return ce_loss + self.critic_loss_weight * bce_loss
 
 
+@functools.lru_cache(maxsize=64)
+def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
+    """Static segment plan for the compact decode path.
+
+    Every position is refilled each decode step, so step i masks exactly
+    max(floor(seq * schedule(t_i)), 1) positions — a compile-time constant.
+    Bucket the counts at seq/4 granularity (+1 safety margin: the schedule is
+    evaluated eagerly here vs traced in the loop; the compact body clamps
+    num_token_masked to the bucket, so the margin makes any 1-ulp floor
+    disagreement harmless) and merge equal-bucket runs: ~4 compiled step
+    bodies instead of 1, and the vocab-sized logits head + sampler shrink
+    with the cosine schedule (~30% of their work at T=18).
+
+    One vectorized eager eval + one host fetch, lru-cached per
+    (schedule, seq, T): per-step eager eval cost 18 tunnel round-trips
+    (~0.5 s) on EVERY generate() call.
+    """
+    import numpy as np
+
+    ts = jnp.linspace(0.0, 1.0, timesteps)
+    ks = np.asarray(
+        jnp.maximum(jnp.floor(noise_schedule(ts) * seq_len), 1).astype(jnp.int32)
+    )
+    gran = max(1, seq_len // 4)
+    buckets = [min(seq_len, -(-(int(k) + 1) // gran) * gran) for k in ks]
+    segs = []
+    s = 0
+    for i in range(1, timesteps + 1):
+        if i == timesteps or buckets[i] != buckets[s]:
+            segs.append((s, i, buckets[s]))
+            s = i
+    return tuple(segs)
+
+
 # ---------------------------------------------------------------------------
 # the jitted decode loop
 # ---------------------------------------------------------------------------
@@ -415,6 +473,7 @@ class MaskGit(nnx.Module):
         "attn_impl",
         "sampler",
         "progress",
+        "segments",
     ),
 )
 def _generate_jit(
@@ -438,6 +497,7 @@ def _generate_jit(
     attn_impl,
     sampler="xla",
     progress=False,
+    segments=None,
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -478,7 +538,16 @@ def _generate_jit(
     if not has_injected:
         injected_gumbel_noise = jnp.zeros((timesteps, 1, 1, 1), jnp.float32)
 
-    def step(carry, xs):
+    def step(carry, xs, kb=None):
+        """One decode step. kb=None: full-sequence body. kb=int: COMPACT body —
+        exactly num_token_masked (<= kb, static bucket) positions are masked
+        each step because every position was refilled the step before, so the
+        vocab-65536 logits head and the sampler run only on the kb gathered
+        candidate positions; results scatter back. Exact equivalence with the
+        full body: remask candidates come from `lax.top_k(scores, kb)` whose
+        ties break lowest-index-first exactly like `mask_by_topk_scores`'
+        stable double-argsort, and unmasked positions' scores are pinned to
+        -1e5 (or come from the full-seq critic) on both paths."""
         ids, scores, self_cond_embed = carry
         t, steps_left, key, g_inj = xs
         k_gumbel, k_critic_noise = jax.random.split(key)
@@ -498,18 +567,38 @@ def _generate_jit(
         num_token_masked = jnp.maximum(
             jnp.floor(rand_mask_prob * seq_len), 1
         ).astype(jnp.int32)
-        num_token_masked = jnp.full((batch,), num_token_masked)
 
-        # remask the least-confident (highest-score) positions (:561-563),
-        # via static-shape rank thresholding instead of dynamic-k topk
-        remask = mask_by_topk_scores(scores, num_token_masked)
-        ids = jnp.where(remask, mask_id, ids)
+        if kb is None:
+            # remask the least-confident (highest-score) positions (:561-563),
+            # via static-shape rank thresholding instead of dynamic-k topk
+            remask = mask_by_topk_scores(scores, jnp.full((batch,), num_token_masked))
+            x_in = jnp.where(remask, mask_id, ids)
+            npos = seq_len
+            gather_pos = None
+            g_inj_use = g_inj
+        else:
+            # sort + gather only — 2D-index scatters serialize on TPU, so
+            # results are placed back by GATHERING from the rank-indexed
+            # compact outputs instead of scattering into the sequence
+            num_token_masked = jnp.minimum(num_token_masked, kb)
+            order = jnp.argsort(-scores, axis=-1, stable=True)  # (b, seq)
+            ranks = jnp.argsort(order, axis=-1)  # position -> descending rank
+            remask = ranks < num_token_masked  # == mask_by_topk_scores
+            x_in = jnp.where(remask, mask_id, ids)
+            cand = order[:, :kb]  # (b, kb): the kb highest-score positions
+            npos = kb
+            gather_pos = cand
+            g_inj_use = (
+                jnp.take_along_axis(g_inj, cand[..., None], axis=1)
+                if has_injected
+                else g_inj
+            )
 
         # the fused sampler combines the CFG pair in ITS kernel (one less
         # full-vocab HBM pass per step); other samplers take combined logits
         fuse_cfg = sampler == "fused" and cond_scale != 1
         logits, embed = demask_fn(
-            ids,
+            x_in,
             text_embeds=text_embeds,
             text_mask=text_mask,
             self_cond_embed=self_cond_embed if transformer.self_cond else None,
@@ -518,6 +607,7 @@ def _generate_jit(
             return_embed=True,
             return_raw_double=fuse_cfg,
             attn_impl=attn_impl,
+            gather_positions=gather_pos,
         )
         new_self_cond = (
             embed.astype(self_cond_embed.dtype)
@@ -541,7 +631,7 @@ def _generate_jit(
             vocab = logits.shape[-1]
             k = max(_math.ceil((1 - topk_filter_thres) * vocab), 1)
             seed = jax.random.randint(k_gumbel, (), 0, jnp.iinfo(jnp.int32).max)
-            rows = (2 * batch if fuse_cfg else batch) * seq_len
+            rows = (2 * batch if fuse_cfg else batch) * npos
             pred_flat, chosen_flat = fused_topk_gumbel_sample(
                 logits.reshape(rows, vocab),
                 k,
@@ -549,19 +639,19 @@ def _generate_jit(
                 seed,
                 # parity harness: pre-drawn noise overrides the on-core PRNG
                 noise=(
-                    g_inj.reshape(batch * seq_len, vocab) if has_injected else None
+                    g_inj_use.reshape(batch * npos, vocab) if has_injected else None
                 ),
                 # the kernel is TPU Mosaic; CPU runs use the TPU interpreter
                 interpret=jax.default_backend() != "tpu",
                 cfg_pair=fuse_cfg,
                 cond_scale=float(cond_scale),
             )
-            pred_ids = pred_flat.reshape(batch, seq_len)
-            chosen_prob = chosen_flat.reshape(batch, seq_len)
+            pred_ids = pred_flat.reshape(batch, npos)
+            chosen_prob = chosen_flat.reshape(batch, npos)
         elif has_injected:
             filtered_logits = top_k(logits, topk_filter_thres)
             safe_temp = jnp.maximum(temp, 1e-10)
-            pred_ids = jnp.argmax(filtered_logits / safe_temp + g_inj, axis=-1).astype(
+            pred_ids = jnp.argmax(filtered_logits / safe_temp + g_inj_use, axis=-1).astype(
                 jnp.int32
             )
             chosen_prob = None
@@ -570,12 +660,19 @@ def _generate_jit(
             pred_ids = gumbel_sample(k_gumbel, filtered_logits, temperature=temp)
             chosen_prob = None
 
-        is_mask = ids == mask_id
-        ids = jnp.where(is_mask, pred_ids, ids)
+        if kb is None:
+            is_mask = x_in == mask_id
+            ids_out = jnp.where(is_mask, pred_ids, x_in)
+        else:
+            # place back by rank-gather: position j's sample is compact row
+            # ranks[j] (only used where remask, i.e. ranks[j] < num <= kb)
+            rank_idx = jnp.minimum(ranks, kb - 1)
+            pred_at_pos = jnp.take_along_axis(pred_ids, rank_idx, axis=1)
+            ids_out = jnp.where(remask, pred_at_pos, ids)
 
         if use_token_critic:
             critic_logits = critic_fn(
-                ids,
+                ids_out,
                 text_embeds=text_embeds,
                 text_mask=text_mask,
                 conditioning_token_ids=cond_ids,
@@ -594,17 +691,32 @@ def _generate_jit(
                 chosen_prob = jnp.take_along_axis(
                     probs, pred_ids[..., None], axis=-1
                 )[..., 0]
-            new_scores = 1.0 - chosen_prob
-            if not can_remask_prev_masked:
-                new_scores = jnp.where(is_mask, new_scores, -1e5)
+            if kb is None:
+                new_scores = 1.0 - chosen_prob
+                if not can_remask_prev_masked:
+                    new_scores = jnp.where(is_mask, new_scores, -1e5)
+            else:
+                prob_at_pos = jnp.take_along_axis(chosen_prob, rank_idx, axis=1)
+                new_scores = jnp.where(remask, 1.0 - prob_at_pos, -1e5)
 
-        return (ids, new_scores, new_self_cond), None
+        return (ids_out, new_scores, new_self_cond), None
 
-    (ids, _, _), _ = jax.lax.scan(
-        step,
-        (ids0, scores0, self_cond0),
-        (ts, steps_until_x0, step_keys, injected_gumbel_noise),
-    )
+    carry = (ids0, scores0, self_cond0)
+    xs_all = (ts, steps_until_x0, step_keys, injected_gumbel_noise)
+
+    if segments is not None:
+        # compact decode: one lax.scan per run of equal-bucket steps (plan
+        # computed statically in generate() — see there for the derivation)
+        for s, e, kb in segments:
+            body = functools.partial(step, kb=None if kb >= seq_len else kb)
+            xs_seg = jax.tree.map(lambda a: a[s:e], xs_all)
+            if e - s == 1:
+                carry, _ = body(carry, jax.tree.map(lambda a: a[0], xs_seg))
+            else:
+                carry, _ = jax.lax.scan(body, carry, xs_seg)
+        ids = carry[0]
+    else:
+        (ids, _, _), _ = jax.lax.scan(step, carry, xs_all)
 
     ids = ids.reshape(batch, fmap_size, fmap_size)
     if exists(model.vae):

@@ -320,6 +320,7 @@ class Transformer(nnx.Module):
         self_cond_embed: Optional[Array] = None,
         attn_impl: str = "auto",
         return_raw_double: bool = False,
+        gather_positions: Optional[Array] = None,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
@@ -330,7 +331,13 @@ class Transformer(nnx.Module):
         `return_raw_double=True` skips the combine and returns the raw
         doubled-batch logits (cond rows then null rows) plus the cond-half
         embed — for consumers that fuse the CFG combine downstream (the
-        Pallas sampling kernel combines in VMEM)."""
+        Pallas sampling kernel combines in VMEM).
+
+        `gather_positions` (b, k) restricts the LOGITS HEAD to those sequence
+        positions (the transformer itself still attends over the full
+        sequence); the returned embed stays full-length. The MaskGit compact
+        decode path uses this to skip the vocab-65536 matmul for positions
+        whose samples would be discarded."""
         if cond_scale == 1:
             return self(
                 x,
@@ -340,6 +347,7 @@ class Transformer(nnx.Module):
                 self_cond_embed=self_cond_embed,
                 return_embed=return_embed,
                 attn_impl=attn_impl,
+                gather_positions=gather_positions,
             )
 
         b = x.shape[0]
@@ -357,6 +365,7 @@ class Transformer(nnx.Module):
             self_cond_embed=dup(self_cond_embed),
             return_embed=True,
             attn_impl=attn_impl,
+            gather_positions=dup(gather_positions),
         )
         if return_raw_double:
             return logits2, embed2[:b]
@@ -380,11 +389,12 @@ class Transformer(nnx.Module):
         self_cond_embed: Optional[Array] = None,
         attn_impl: str = "auto",
         return_raw_double: bool = False,
+        gather_positions: Optional[Array] = None,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
-        `return_raw_double` as in `forward_with_cond_scale` (pos rows then
-        neg rows)."""
+        `return_raw_double` / `gather_positions` as in
+        `forward_with_cond_scale` (pos rows then neg rows)."""
         b = x.shape[0]
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
@@ -418,6 +428,7 @@ class Transformer(nnx.Module):
             self_cond_embed=dup(self_cond_embed),
             return_embed=True,
             attn_impl=attn_impl,
+            gather_positions=dup(gather_positions),
         )
         if return_raw_double:
             return logits2, embed2[:b]
@@ -444,6 +455,7 @@ class Transformer(nnx.Module):
         text_mask: Optional[Array] = None,
         rng: Optional[Array] = None,
         attn_impl: str = "auto",
+        gather_positions: Optional[Array] = None,
     ):
         b, n = x.shape
         assert n <= self.seq_len
@@ -496,8 +508,17 @@ class Transformer(nnx.Module):
 
         # logits stay in the compute dtype: at vocab 65536 the CFG-doubled
         # f32 logits are ~2 GB of HBM traffic per decode step; the loss fns
-        # and the sampling kernel upcast to f32 where it matters
-        logits = self.to_logits(embed)
+        # and the sampling kernel upcast to f32 where it matters.
+        # gather_positions restricts the head (and only the head: attention
+        # above saw the full sequence) to the positions whose samples the
+        # caller will keep — the decode loop's biggest single matmul shrinks
+        # with the cosine mask schedule (MaskGit compact decode).
+        if gather_positions is not None:
+            assert labels is None, "gather_positions is a sampling-path feature"
+            head_in = jnp.take_along_axis(embed, gather_positions[..., None], axis=1)
+        else:
+            head_in = embed
+        logits = self.to_logits(head_in)
 
         if return_embed:
             return logits, embed
