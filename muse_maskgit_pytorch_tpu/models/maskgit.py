@@ -425,12 +425,13 @@ def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
 
     Every position is refilled each decode step, so step i masks exactly
     max(floor(seq * schedule(t_i)), 1) positions — a compile-time constant.
-    Bucket the counts at seq/4 granularity (+1 safety margin: the schedule is
+    Bucket the counts at seq/8 granularity (+1 safety margin: the schedule is
     evaluated eagerly here vs traced in the loop; the compact body clamps
     num_token_masked to the bucket, so the margin makes any 1-ulp floor
-    disagreement harmless) and merge equal-bucket runs: ~4 compiled step
+    disagreement harmless) and merge equal-bucket runs: ~8 compiled step
     bodies instead of 1, and the vocab-sized logits head + sampler shrink
-    with the cosine schedule (~30% of their work at T=18).
+    with the cosine schedule (~34% of their work at T=18; seq/8 measured
+    +1.8% img/s over seq/4 on v5e, BASELINE.md).
 
     One vectorized eager eval + one host fetch, lru-cached per
     (schedule, seq, T): per-step eager eval cost 18 tunnel round-trips
@@ -442,7 +443,7 @@ def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
     ks = np.asarray(
         jnp.maximum(jnp.floor(noise_schedule(ts) * seq_len), 1).astype(jnp.int32)
     )
-    gran = max(1, seq_len // 4)
+    gran = max(1, seq_len // 8)
     buckets = [min(seq_len, -(-(int(k) + 1) // gran) * gran) for k in ks]
     segs = []
     s = 0
