@@ -152,7 +152,9 @@ def main():
         vae=vae,
         cond_vae=vae,
     )
-    cas_batch = 8
+    # compact decode made the cascade batch-scalable (pre-compact it was flat
+    # 9.5-9.7 img/s across b8-b16; with it: b8 10.5 -> b16 11.2)
+    cas_batch = 16
     te_c, tm_c = text_embeds[:cas_batch], text_mask[:cas_batch]
 
     def cascade(key):
