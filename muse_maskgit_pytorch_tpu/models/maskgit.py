@@ -511,8 +511,21 @@ def _generate_jit(
         demask_fn = functools.partial(
             transformer.forward_with_neg_prompt, neg_text_embeds=neg_text_embeds
         )
+        ctx_kv = None  # pos/neg halves have different contexts
     else:
         demask_fn = transformer.forward_with_cond_scale
+        # the cross-attn context (text ⧺ conditioning tokens) is constant
+        # across decode steps: project K/V once, reuse every step. Both CFG
+        # halves share the VALUES (only the mask differs), so the cache is
+        # computed single and concatenated to the doubled batch.
+        ctx_kv = transformer.precompute_context_kv(
+            text_embeds=text_embeds, conditioning_token_ids=cond_ids
+        )
+        if cond_scale != 1:
+            ctx_kv = [
+                (jnp.concatenate([k, k], 0), jnp.concatenate([v, v], 0))
+                for k, v in ctx_kv
+            ]
 
     if use_token_critic:
         if exists(neg_text_embeds):
@@ -609,6 +622,7 @@ def _generate_jit(
             return_raw_double=fuse_cfg,
             attn_impl=attn_impl,
             gather_positions=gather_pos,
+            context_kv=ctx_kv,
         )
         new_self_cond = (
             embed.astype(self_cond_embed.dtype)

@@ -106,20 +106,32 @@ class Attention(nnx.Module):
         self.k_scale = nnx.Param(jnp.ones((dim_head,)))
         self.to_out = nnx.Linear(inner_dim, dim, use_bias=False, dtype=dtype, rngs=rngs)
 
+    def compute_kv(self, kv_input: Array):
+        """Raw K/V projections of a (static) context, for caching across a
+        decode scan: the cross-attention context never changes between steps,
+        so `to_kv` runs once per generate instead of once per step."""
+        k, v = jnp.split(self.to_kv(kv_input), 2, axis=-1)
+        return k, v
+
     def __call__(
         self,
         x: Array,
         context: Optional[Array] = None,
         context_mask: Optional[Array] = None,
         impl: str = "auto",
+        cached_kv=None,
     ) -> Array:
-        assert not (exists(context) ^ self.cross_attend)
+        assert not ((exists(context) or exists(cached_kv)) ^ self.cross_attend)
         b, n, _ = x.shape
         h, d = self.heads, self.dim_head
 
         x = self.norm(x)
-        kv_input = context if self.cross_attend else x
-        m = kv_input.shape[1]
+        if exists(cached_kv):
+            k_raw, v_raw = cached_kv
+            m = k_raw.shape[1]
+        else:
+            kv_input = context if self.cross_attend else x
+            m = kv_input.shape[1]
 
         if impl == "auto":
             # the fused qk-norm kernel (norm + scales + null-KV + softmax in
@@ -132,22 +144,19 @@ class Attention(nnx.Module):
             # (BASELINE.md r2 A/B); dispatch on measured crossover kv ~768.
             impl = (
                 "flash"
-                if (
-                    self.flash
-                    and jax.default_backend() == "tpu"
-                    and kv_input.shape[1] >= 768
-                )
+                if (self.flash and jax.default_backend() == "tpu" and m >= 768)
                 else "xla"
             )
+
+        if not exists(cached_kv):
+            k_raw, v_raw = self.compute_kv(kv_input)
 
         if impl == "flash":
             # fused path: raw (b, n|m, h, d) projections straight into the
             # kernel; everything else happens in VMEM (ops/attention.py)
             q = self.to_q(x).reshape(b, n, h, d)
-            kv = self.to_kv(kv_input)
-            k, v = jnp.split(kv, 2, axis=-1)
-            k = k.reshape(b, m, h, d)
-            v = v.reshape(b, m, h, d)
+            k = k_raw.reshape(b, m, h, d)
+            v = v_raw.reshape(b, m, h, d)
             null_kv = self.null_kv[...]
             out = qknorm_attend(
                 q,
@@ -164,10 +173,8 @@ class Attention(nnx.Module):
             return self.to_out(out.reshape(b, n, h * d))
 
         q = self.to_q(x).reshape(b, n, h, d).transpose(0, 2, 1, 3)
-        kv = self.to_kv(kv_input)
-        k, v = jnp.split(kv, 2, axis=-1)
-        k = k.reshape(b, m, h, d).transpose(0, 2, 1, 3)
-        v = v.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        k = k_raw.reshape(b, m, h, d).transpose(0, 2, 1, 3)
+        v = v_raw.reshape(b, m, h, d).transpose(0, 2, 1, 3)
 
         nk, nv = self.null_kv[...].astype(k.dtype)
         nk = jnp.broadcast_to(nk, (b, h, 1, d))
@@ -237,17 +244,28 @@ class TransformerBlocks(nnx.Module):
         context: Optional[Array] = None,
         context_mask: Optional[Array] = None,
         impl: str = "auto",
+        context_kv=None,
     ) -> Array:
-        for attn, cross_attn, ff in self.layers:
-            def layer(x, context, context_mask, attn=attn, cross_attn=cross_attn, ff=ff):
+        for i, (attn, cross_attn, ff) in enumerate(self.layers):
+            kv_i = context_kv[i] if context_kv is not None else None
+
+            def layer(x, context, context_mask, kv_i, attn=attn, cross_attn=cross_attn, ff=ff):
                 x = attn(x, impl=impl) + x
-                x = cross_attn(x, context=context, context_mask=context_mask, impl=impl) + x
+                x = cross_attn(
+                    x, context=context, context_mask=context_mask, impl=impl,
+                    cached_kv=kv_i,
+                ) + x
                 return ff(x) + x
 
             if self.remat:
                 layer = jax.checkpoint(layer)
-            x = layer(x, context, context_mask)
+            x = layer(x, context, context_mask, kv_i)
         return self.norm(x)
+
+    def compute_context_kv(self, context: Array):
+        """Per-layer cross-attention K/V of a static context (decode-scan
+        cache; see Attention.compute_kv)."""
+        return [layer[1].compute_kv(context) for layer in self.layers]
 
 
 class Transformer(nnx.Module):
@@ -306,6 +324,29 @@ class Transformer(nnx.Module):
 
         return t5_encode_text(texts, name=self.t5_name)
 
+    def precompute_context_kv(
+        self,
+        *,
+        text_embeds: Array,
+        conditioning_token_ids: Optional[Array] = None,
+    ):
+        """Per-layer cross-attention K/V of the static generate context
+        (projected text ⧺ conditioning-token embeddings). The decode scan's
+        context never changes between steps, so these projections run once
+        per generate instead of once per step per layer."""
+        b = text_embeds.shape[0]
+        context = (
+            self.text_embed_proj(text_embeds)
+            if exists(self.text_embed_proj)
+            else text_embeds
+        )
+        context = context.astype(self.dtype)
+        if exists(conditioning_token_ids):
+            cond_ids = conditioning_token_ids.reshape(b, -1)
+            cond_token_emb = self.token_emb(cond_ids).astype(self.dtype)
+            context = jnp.concatenate([context, cond_token_emb], axis=-2)
+        return self.transformer_blocks.compute_context_kv(context)
+
     # -- CFG wrappers ---------------------------------------------------------
 
     def forward_with_cond_scale(
@@ -321,6 +362,7 @@ class Transformer(nnx.Module):
         attn_impl: str = "auto",
         return_raw_double: bool = False,
         gather_positions: Optional[Array] = None,
+        context_kv=None,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
@@ -337,7 +379,12 @@ class Transformer(nnx.Module):
         positions (the transformer itself still attends over the full
         sequence); the returned embed stays full-length. The MaskGit compact
         decode path uses this to skip the vocab-65536 matmul for positions
-        whose samples would be discarded."""
+        whose samples would be discarded.
+
+        `context_kv`: precomputed per-layer cross-attn K/V, already sized for
+        the batch this wrapper will run (i.e. DOUBLED when cond_scale != 1 —
+        both CFG halves share the same context values; only the mask
+        differs)."""
         if cond_scale == 1:
             return self(
                 x,
@@ -348,6 +395,7 @@ class Transformer(nnx.Module):
                 return_embed=return_embed,
                 attn_impl=attn_impl,
                 gather_positions=gather_positions,
+                context_kv=context_kv,
             )
 
         b = x.shape[0]
@@ -366,6 +414,7 @@ class Transformer(nnx.Module):
             return_embed=True,
             attn_impl=attn_impl,
             gather_positions=dup(gather_positions),
+            context_kv=context_kv,
         )
         if return_raw_double:
             return logits2, embed2[:b]
@@ -390,11 +439,15 @@ class Transformer(nnx.Module):
         attn_impl: str = "auto",
         return_raw_double: bool = False,
         gather_positions: Optional[Array] = None,
+        context_kv=None,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
         `return_raw_double` / `gather_positions` as in
-        `forward_with_cond_scale` (pos rows then neg rows)."""
+        `forward_with_cond_scale` (pos rows then neg rows). The context
+        differs between the halves here, so `context_kv` caching is not
+        supported on this wrapper."""
+        assert context_kv is None, "context_kv caching unsupported with negative prompts"
         b = x.shape[0]
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
@@ -456,6 +509,7 @@ class Transformer(nnx.Module):
         rng: Optional[Array] = None,
         attn_impl: str = "auto",
         gather_positions: Optional[Array] = None,
+        context_kv=None,
     ):
         b, n = x.shape
         assert n <= self.seq_len
@@ -464,12 +518,18 @@ class Transformer(nnx.Module):
         if exists(texts):
             text_embeds = self.encode_text(texts)
 
-        context = (
-            self.text_embed_proj(text_embeds)
-            if exists(self.text_embed_proj)
-            else text_embeds
-        )
-        context = context.astype(self.dtype)
+        # context_kv: per-layer cross-attention K/V of the (static) context,
+        # precomputed once per decode scan (`precompute_context_kv`) — the
+        # context VALUES are then not rebuilt per step; only the mask is
+        if context_kv is None:
+            context = (
+                self.text_embed_proj(text_embeds)
+                if exists(self.text_embed_proj)
+                else text_embeds
+            )
+            context = context.astype(self.dtype)
+        else:
+            context = None
 
         # padding positions carry zeroed embeddings (t5.py:92-93 contract);
         # an explicit mask can also be passed (TPU-first: static shapes)
@@ -487,8 +547,9 @@ class Transformer(nnx.Module):
         # conditioning image token ids join the cross-attn context (:312-318)
         if exists(conditioning_token_ids):
             cond_ids = conditioning_token_ids.reshape(b, -1)
-            cond_token_emb = self.token_emb(cond_ids).astype(self.dtype)
-            context = jnp.concatenate([context, cond_token_emb], axis=-2)
+            if context_kv is None:
+                cond_token_emb = self.token_emb(cond_ids).astype(self.dtype)
+                context = jnp.concatenate([context, cond_token_emb], axis=-2)
             context_mask = jnp.pad(
                 context_mask, ((0, 0), (0, cond_ids.shape[-1])), constant_values=True
             )
@@ -503,7 +564,8 @@ class Transformer(nnx.Module):
             h = h + self.self_cond_to_init_embed(self_cond_embed.astype(self.dtype))
 
         embed = self.transformer_blocks(
-            h, context=context, context_mask=context_mask, impl=attn_impl
+            h, context=context, context_mask=context_mask, impl=attn_impl,
+            context_kv=context_kv,
         )
 
         # logits stay in the compute dtype: at vocab 65536 the CFG-doubled
