@@ -54,26 +54,26 @@ def test_t5_encoder_matches_hf(gated):
     from muse_maskgit_pytorch_tpu.utils import convert as C
 
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
-    ours.token_emb.embedding.value = C._a(sd["shared.weight"])
+    ours.token_emb.embedding[...] = C._a(sd["shared.weight"])
     for i, block in enumerate(ours.blocks):
         p = f"encoder.block.{i}"
-        block.ln1.weight.value = C._a(sd[f"{p}.layer.0.layer_norm.weight"])
-        block.attn.q.kernel.value = C._t(sd[f"{p}.layer.0.SelfAttention.q.weight"])
-        block.attn.k.kernel.value = C._t(sd[f"{p}.layer.0.SelfAttention.k.weight"])
-        block.attn.v.kernel.value = C._t(sd[f"{p}.layer.0.SelfAttention.v.weight"])
-        block.attn.o.kernel.value = C._t(sd[f"{p}.layer.0.SelfAttention.o.weight"])
+        block.ln1.weight[...] = C._a(sd[f"{p}.layer.0.layer_norm.weight"])
+        block.attn.q.kernel[...] = C._t(sd[f"{p}.layer.0.SelfAttention.q.weight"])
+        block.attn.k.kernel[...] = C._t(sd[f"{p}.layer.0.SelfAttention.k.weight"])
+        block.attn.v.kernel[...] = C._t(sd[f"{p}.layer.0.SelfAttention.v.weight"])
+        block.attn.o.kernel[...] = C._t(sd[f"{p}.layer.0.SelfAttention.o.weight"])
         if block.attn.rel_bias is not None:
-            block.attn.rel_bias.embedding.value = C._a(
+            block.attn.rel_bias.embedding[...] = C._a(
                 sd[f"{p}.layer.0.SelfAttention.relative_attention_bias.weight"]
             )
-        block.ln2.weight.value = C._a(sd[f"{p}.layer.1.layer_norm.weight"])
+        block.ln2.weight[...] = C._a(sd[f"{p}.layer.1.layer_norm.weight"])
         if gated:
-            block.ff.wi_0.kernel.value = C._t(sd[f"{p}.layer.1.DenseReluDense.wi_0.weight"])
-            block.ff.wi_1.kernel.value = C._t(sd[f"{p}.layer.1.DenseReluDense.wi_1.weight"])
+            block.ff.wi_0.kernel[...] = C._t(sd[f"{p}.layer.1.DenseReluDense.wi_0.weight"])
+            block.ff.wi_1.kernel[...] = C._t(sd[f"{p}.layer.1.DenseReluDense.wi_1.weight"])
         else:
-            block.ff.wi.kernel.value = C._t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])
-        block.ff.wo.kernel.value = C._t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])
-    ours.final_norm.weight.value = C._a(sd["encoder.final_layer_norm.weight"])
+            block.ff.wi.kernel[...] = C._t(sd[f"{p}.layer.1.DenseReluDense.wi.weight"])
+        block.ff.wo.kernel[...] = C._t(sd[f"{p}.layer.1.DenseReluDense.wo.weight"])
+    ours.final_norm.weight[...] = C._a(sd["encoder.final_layer_norm.weight"])
 
     ids = np.array([[5, 9, 17, 33, 1, 0, 0, 0], [2, 3, 1, 0, 0, 0, 0, 0]], np.int32)
     mask = ids != 0

@@ -91,7 +91,7 @@ def test_grads_flow_only_to_transformer(rng):
     saw_transformer = False
     for path, g in grads:
         p = "/".join(str(getattr(x, "key", getattr(x, "idx", x))) for x in path)
-        gsum = float(jnp.sum(jnp.abs(g.value if hasattr(g, "value") else g)))
+        gsum = float(jnp.sum(jnp.abs(g[...] if isinstance(g, nnx.Variable) else g)))
         if p.startswith("vae") or p.startswith("cond_vae"):
             assert gsum == 0, f"frozen vae got gradient at {p}"
         if p.startswith("transformer") and "token_emb" in p:

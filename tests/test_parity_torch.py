@@ -156,7 +156,7 @@ def test_layernorm_parity():
     gamma = rng.normal(size=(16,)).astype(np.float32)
 
     ln = LayerNorm(16, rngs=nnx.Rngs(0))
-    ln.gamma.value = jnp.asarray(gamma)
+    ln.gamma[...] = jnp.asarray(gamma)
     ours = np.asarray(ln(jnp.asarray(x)))
 
     ref = torch.nn.functional.layer_norm(
@@ -177,10 +177,10 @@ def test_geglu_ff_parity():
     ours = np.asarray(ff(jnp.asarray(x)))
 
     inner = int(dim * mult * 2 / 3)
-    w1 = torch.tensor(np.asarray(ff.proj_in.kernel.value))
-    w2 = torch.tensor(np.asarray(ff.proj_out.kernel.value))
-    g1 = torch.tensor(np.asarray(ff.norm.gamma.value))
-    g2 = torch.tensor(np.asarray(ff.norm_inner.gamma.value))
+    w1 = torch.tensor(np.asarray(ff.proj_in.kernel[...]))
+    w2 = torch.tensor(np.asarray(ff.proj_out.kernel[...]))
+    g1 = torch.tensor(np.asarray(ff.norm.gamma[...]))
+    g2 = torch.tensor(np.asarray(ff.norm_inner.gamma[...]))
     t = torch.nn.functional.layer_norm(torch.tensor(x), (dim,), g1, torch.zeros(dim))
     t = t @ w1
     a, gate = t.chunk(2, dim=-1)

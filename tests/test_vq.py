@@ -105,10 +105,10 @@ def test_ema_vq_codebook_moves_toward_data(rng):
         rngs=nnx.Rngs(0),
     )
     x = jax.random.normal(rng, (256, 4)) + 3.0
-    before = np.asarray(q.codebook.value).copy()
+    before = np.asarray(q.codebook[...]).copy()
     for _ in range(20):
         q(x, train=True)
-    after = np.asarray(q.codebook.value)
+    after = np.asarray(q.codebook[...])
     used = np.unique(np.asarray(q(x, train=False)[1]))
     # codes actually used must be closer to the data mean than before
     d_before = np.linalg.norm(before[used] - 3.0, axis=-1).mean()
@@ -120,19 +120,19 @@ def test_ema_vq_kmeans_init(rng):
     q = VectorQuantizeEMA(
         dim=8, codebook_size=16, codebook_dim=8, kmeans_init=True, rngs=nnx.Rngs(0)
     )
-    assert not bool(q.initted.value)
+    assert not bool(q.initted[...])
     x = jax.random.normal(rng, (4, 8, 8, 8))
     q(x, train=True, rng=rng)
-    assert bool(q.initted.value)
+    assert bool(q.initted[...])
 
 
 def test_ema_vq_eval_does_not_mutate(rng):
     q = VectorQuantizeEMA(
         dim=8, codebook_size=16, codebook_dim=8, kmeans_init=False, rngs=nnx.Rngs(0)
     )
-    before = np.asarray(q.codebook.value).copy()
+    before = np.asarray(q.codebook[...]).copy()
     q(jax.random.normal(rng, (4, 8)), train=False)
-    np.testing.assert_array_equal(before, np.asarray(q.codebook.value))
+    np.testing.assert_array_equal(before, np.asarray(q.codebook[...]))
 
 
 def test_ema_vq_dead_code_revival(rng):
@@ -178,9 +178,9 @@ def test_ema_vq_production_scale():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2048, 64))
 
-    assert not bool(q.initted.value)
+    assert not bool(q.initted[...])
     quantized, ids, aux = q(x, train=True, rng=rng)
-    assert bool(q.initted.value)
+    assert bool(q.initted[...])
     assert quantized.shape == x.shape and ids.shape == (2048,)
     assert ids.min() >= 0 and ids.max() < K
     assert np.isfinite(float(aux))
