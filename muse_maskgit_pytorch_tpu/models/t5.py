@@ -73,7 +73,9 @@ def get_config(name: str) -> T5Config:
     try:  # unknown name: ask transformers (works if config is cached locally)
         from transformers import T5Config as HFT5Config
 
-        cfg = HFT5Config.from_pretrained(name)
+        from muse_maskgit_pytorch_tpu.utils.convert import _hf_local_first
+
+        cfg = _hf_local_first(HFT5Config.from_pretrained, name)
         return T5Config(
             d_model=cfg.d_model,
             d_ff=cfg.d_ff,
@@ -251,7 +253,12 @@ class HFTokenizer:
     def __init__(self, name: str):
         from transformers import AutoTokenizer
 
-        self.tok = AutoTokenizer.from_pretrained(name)
+        from muse_maskgit_pytorch_tpu.utils.convert import _hf_local_first
+
+        # local cache first: avoids a minutes-long hub retry stall per
+        # process in egress-less deployments (set TRANSFORMERS_OFFLINE=1 to
+        # skip the networked second attempt entirely)
+        self.tok = _hf_local_first(AutoTokenizer.from_pretrained, name)
 
     def __call__(self, texts: List[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
         enc = self.tok(

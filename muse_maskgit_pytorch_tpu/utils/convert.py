@@ -24,11 +24,45 @@ def _a(w) -> jnp.ndarray:
     return jnp.asarray(np.asarray(w))
 
 
+_HUB_UNREACHABLE = False  # per-process circuit breaker (see below)
+
+
+def _hf_local_first(fn, name_or_path: str, **kw):
+    """Try the local HF cache first: `from_pretrained` without
+    `local_files_only` hits huggingface.co with retries of exponential
+    backoff when the name is not cached — a ~minute stall per load in an
+    egress-less production environment before the random-init fallback even
+    gets a chance. Local-first is instant either way; the networked attempt
+    still runs second where egress exists — but at most ONCE per process:
+    the first connectivity failure trips a circuit breaker so subsequent
+    loads fail fast. (Set TRANSFORMERS_OFFLINE=1 to skip network entirely.)
+    """
+    global _HUB_UNREACHABLE
+    try:
+        return fn(name_or_path, local_files_only=True, **kw)
+    except Exception:
+        pass
+    if _HUB_UNREACHABLE:
+        raise RuntimeError(
+            f"{name_or_path!r}: not in the local HF cache and the hub was "
+            "unreachable earlier in this process"
+        )
+    try:
+        return fn(name_or_path, **kw)
+    except Exception as e:
+        if any(
+            s in repr(e)
+            for s in ("NameResolutionError", "MaxRetryError", "ConnectionError", "OfflineMode")
+        ):
+            _HUB_UNREACHABLE = True
+        raise
+
+
 def load_hf_t5_weights(model, name_or_path: str) -> None:
     """Populate a `models.t5.T5Encoder` from a HF `T5EncoderModel`."""
     from transformers import T5EncoderModel
 
-    hf = T5EncoderModel.from_pretrained(name_or_path)
+    hf = _hf_local_first(T5EncoderModel.from_pretrained, name_or_path)
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
 
     model.token_emb.embedding[...] = _a(sd["shared.weight"])

@@ -50,7 +50,9 @@ def test_pipeline_single_prompt_array_output():
     )
     out = pipe("hello")
     assert out.shape == (1, 16, 16, 3)
-    assert out.min() >= 0 and out.max() <= 1
+    # images are quantized to uint8 on device before the host fetch (4x less
+    # device->host traffic — the serving bottleneck on remote hosts)
+    assert out.dtype == np.uint8
 
 
 def test_pipeline_cascade():
