@@ -234,6 +234,11 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # One HBM read of q/k/v, one write of o, zero intermediate passes.
 
 
+# v5e-tuned (BASELINE.md r2): K/V VMEM budget and max batch rows per program
+_QKNORM_KV_VMEM_BUDGET = int(6e6)
+_QKNORM_MAX_BLOCK_B = 4
+
+
 def _qknorm_kernel(
     q_ref, k_ref, v_ref, nk_ref, nv_ref, qs_ref, ks_ref, bias_ref, o_ref,
     *, scale: float, block_b: int
@@ -346,11 +351,12 @@ def _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interp
         vf = jnp.pad(vf, ((0, 0), (0, m_pad - m), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, m_pad - m)), constant_values=NEG_INF)
 
-    # batch rows per program: amortize per-program overhead under a ~6 MB
-    # VMEM budget for the K/V blocks (the grid's one TensorCore runs programs
-    # sequentially — fewer, fatter programs win at short kv)
+    # batch rows per program: amortize per-program overhead under a VMEM
+    # budget for the K/V blocks (the grid's one TensorCore runs programs
+    # sequentially — fewer, fatter programs win at short kv). Module-level
+    # knobs so perf sweeps can probe without editing the kernel.
     kv_bytes_per_row = 2 * m_pad * h * d * q.dtype.itemsize
-    block_b = max(1, min(b, int(6e6) // kv_bytes_per_row, 4))
+    block_b = max(1, min(b, _QKNORM_KV_VMEM_BUDGET // kv_bytes_per_row, _QKNORM_MAX_BLOCK_B))
     while b % block_b:
         block_b -= 1
 
