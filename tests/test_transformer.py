@@ -188,3 +188,38 @@ def test_sigmoid_bce_matches_formula(rng):
         np.asarray(labels) * np.log(p) + (1 - np.asarray(labels)) * np.log(1 - p)
     )
     assert np.isclose(float(loss), expected, rtol=1e-4)
+
+
+def test_context_kv_cache_matches_uncached(rng):
+    """Precomputed cross-attn K/V (decode-scan cache) must reproduce the
+    uncached forward exactly — same projections, just hoisted."""
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    cond_ids = jax.random.randint(jax.random.fold_in(rng, 1), (2, 4), 0, VOCAB)
+
+    plain = t(x, text_embeds=te, conditioning_token_ids=cond_ids)
+    kv = t.precompute_context_kv(text_embeds=te, conditioning_token_ids=cond_ids)
+    cached = t(x, text_embeds=te, conditioning_token_ids=cond_ids, context_kv=kv)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(cached))
+
+
+def test_context_kv_cache_cfg_doubled(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    plain = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=3.0)
+    kv = [
+        (jnp.concatenate([k, k], 0), jnp.concatenate([v, v], 0))
+        for k, v in t.precompute_context_kv(text_embeds=te)
+    ]
+    cached = t.forward_with_cond_scale(x, text_embeds=te, cond_scale=3.0, context_kv=kv)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(cached))
+
+
+def test_gather_positions_match_full_head(rng):
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    pos = jnp.array([[0, 3, 7], [1, 2, 15]], jnp.int32)
+    full = t(x, text_embeds=te)
+    compact = t(x, text_embeds=te, gather_positions=pos)
+    expect = jnp.take_along_axis(full, pos[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(expect), np.asarray(compact))
