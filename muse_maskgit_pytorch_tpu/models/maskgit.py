@@ -6,9 +6,14 @@ muse_maskgit_pytorch.py:427-791`. The key structural change: the reference's
 18-step decode loop is host python with a device sync every step
 (`.item()` at :559, tqdm at :556); here the ENTIRE loop — cosine mask
 schedule, confidence-based remasking, CFG doubled-batch forward, top-k
-filter, annealed-temperature gumbel sampling, critic scoring — is ONE
-`lax.scan` inside ONE jitted function (BASELINE.json north star). Dynamic-k
-operations become static-shape rank thresholding (`mask_by_topk_scores`), and
+filter, annealed-temperature gumbel sampling, critic scoring — lives inside
+ONE jitted function (BASELINE.json north star), as a few bucket-sized
+`lax.scan` segments: the per-step masked count is a static schedule, so the
+vocab-sized logits head and the sampler run only on each step's masked
+positions (compact decode — token-exact vs a single full-sequence scan,
+which remains available via `compact=False`). Dynamic-k operations become
+static-shape rank thresholding (`mask_by_topk_scores` / sorted-rank
+gathers), cross-attn K/V of the static context are precomputed once, and
 all randomness is explicit PRNG keys.
 
 Reference bugs fixed (SURVEY.md §2.4):
