@@ -117,7 +117,13 @@ _GEN_DIFF = nnx.All(
 
 
 class VQGanVAETrainer:
-    """GAN training loop for the VQ-GAN VAE (reference trainers.py:117-415)."""
+    """GAN training loop for the VQ-GAN VAE (reference trainers.py:117-415).
+
+    NOTE: the jitted step DONATES the train state, which initially aliases
+    the `vae` you pass in — after the first step the original module
+    object's buffers are invalid. Use `trainer.vae_module()` (or the EMA
+    variant) for the live model.
+    """
 
     def __init__(
         self,
@@ -461,6 +467,11 @@ class MaskGitTrainer:
     The VAE and T5 encoder are frozen (their params live in the non-trainable
     partition of the split, mirroring the reference's frozen-encoder setup,
     muse_maskgit_pytorch.py:445,641-642,690-692).
+
+    NOTE: the jitted step DONATES the train state, and that state initially
+    aliases the module you pass in — after the first step the original
+    module object's buffers are invalid ("Array has been deleted"). Use
+    `trainer.maskgit_module()` for the live (or EMA) model.
     """
 
     def __init__(
