@@ -150,10 +150,17 @@ class ResnetEncDec(nnx.Module):
         resnet_groups: int = 16,
         first_conv_kernel_size: int = 5,
         dtype=jnp.float32,
+        remat: bool = False,
         rngs: nnx.Rngs,
     ):
         assert dim % resnet_groups == 0
         self.dtype = dtype
+        # rematerialize each enc/dec layer's activations on backward
+        # (jax.checkpoint): the GAN step at the reference scale (dim 256,
+        # 256px) exceeds one v5e's 16G HBM at micro-batch 8 without it —
+        # the nested-grad adaptive weight + R1 penalty hold every conv
+        # activation live. Enable via `VQGanVAE(..., encdec_remat=True)`.
+        self.remat = remat
 
         self.layers = layers
         layer_mults = list(default(layer_mults, [2**t for t in range(layers)]))
@@ -198,12 +205,14 @@ class ResnetEncDec(nnx.Module):
 
     def encode(self, x: Array) -> Array:
         for enc in self.encoders:
-            x = enc(x)
+            f = (lambda x, enc=enc: enc(x))
+            x = jax.checkpoint(f)(x) if self.remat else f(x)
         return x
 
     def decode_trunk_fn(self, x: Array) -> Array:
         for dec in self.decoder_trunk:
-            x = dec(x)
+            f = (lambda x, dec=dec: dec(x))
+            x = jax.checkpoint(f)(x) if self.remat else f(x)
         return x
 
     def decode(self, x: Array) -> Array:

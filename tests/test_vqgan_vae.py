@@ -158,3 +158,28 @@ def test_image_size_divisibility_assert(rng):
     img = jax.random.uniform(rng, (1, 30, 30, 3))
     with pytest.raises(AssertionError):
         vae(img, return_loss=True)
+
+
+def test_encdec_remat_matches_grads(rng):
+    """encdec_remat=True must not change the GAN loss or its gradients —
+    jax.checkpoint only changes WHEN activations are computed. (The remat
+    option exists because the reference-scale GAN step exceeds one v5e's
+    HBM at micro-batch 8 without it, BASELINE.md.)"""
+    img = jax.random.uniform(rng, (1, 32, 32, 3))
+
+    def gan_grads(remat):
+        vae = tiny_vae(use_vgg_and_gan=True, encdec_remat=remat)
+        graphdef, state = nnx.split(vae)
+
+        def loss_fn(state):
+            model = nnx.merge(graphdef, state)
+            return model(img, return_loss=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state)
+        return loss, grads
+
+    l0, g0 = gan_grads(False)
+    l1, g1 = gan_grads(True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
