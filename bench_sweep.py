@@ -2,7 +2,10 @@
 
 Sweeps batch size and attention impl for the 256px base sampling loop, and
 measures the full two-stage text->512px cascade (the BASELINE.json north-star
-configuration: >= 4 images/sec/chip).
+configuration: >= 4 images/sec/chip). Generation runs the production
+defaults, including the segmented compact decode (r2); pass compact=False to
+`time_generate(..., compact=False)` to A/B the full-sequence path. Headline
+numbers and the r2 sweep history live in BASELINE.md.
 """
 
 import sys
