@@ -226,6 +226,19 @@ class MaskGit(nnx.Module):
             compact = timesteps > 1 and (
                 use_token_critic or not can_remask_prev_masked
             )
+        elif compact and can_remask_prev_masked and not use_token_critic:
+            # an explicit compact=True here would silently pin all unmasked
+            # scores to -1e5, so previously-unmasked tokens could never be
+            # remasked — not what can_remask_prev_masked asks for
+            import warnings
+
+            warnings.warn(
+                "compact=True is incompatible with can_remask_prev_masked "
+                "without a token critic (compact pins unmasked positions' "
+                "confidences); forcing compact=False",
+                stacklevel=2,
+            )
+            compact = False
 
         segments = None
         if compact and timesteps > 1:
@@ -450,6 +463,16 @@ def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
     )
     gran = max(1, seq_len // 8)
     buckets = [min(seq_len, -(-(int(k) + 1) // gran) * gran) for k in ks]
+    if int(ks[0]) < seq_len:
+        # Compactness relies on the invariant that every position is refilled
+        # each step, which requires step 0 to mask the WHOLE sequence. Shipped
+        # schedules satisfy schedule(0) = 1; for a custom schedule that
+        # doesn't, leftover mask_id positions would never be sampled (scores
+        # pinned to -1e5) and the out-of-codebook mask_id would flow silently
+        # into vae.decode_from_ids. Force step 0 onto the full-sequence body
+        # (kb >= seq_len), which refills ALL masked positions and restores the
+        # invariant for the compact steps that follow.
+        buckets[0] = seq_len
     segs = []
     s = 0
     for i in range(1, timesteps + 1):

@@ -330,13 +330,23 @@ def _qknorm_xla(q, k, v, nk, nv, q_scale, k_scale, bias, scale):
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, interpret):
     b, n, h, d = q.shape
     m = k.shape[1]
 
     n_pad = _round_up(n, block_q)
     m_pad = _round_up(m, 128)
+
+    # The kernel holds ONE batch row's full K/V in VMEM (no kv chunking —
+    # unnecessary at this model family's kv <= ~1.4k). Fail loudly before
+    # Mosaic lowering does when a context is too long for that design.
+    kv_row_bytes = 2 * m_pad * h * d * q.dtype.itemsize
+    assert kv_row_bytes <= _QKNORM_KV_VMEM_BUDGET * 2, (
+        f"qknorm_attend: kv length {m} (padded {m_pad}, {kv_row_bytes / 1e6:.1f} MB "
+        "of K/V per batch row) exceeds the kernel's whole-context-in-VMEM "
+        "design budget; use the chunked `attend` path for long contexts"
+    )
 
     # 3D (b, len, h*d) operands: Mosaic handles static lane slices per head,
     # while 4D blocks with per-head indexing fail to lower (unit middle dims
@@ -402,12 +412,12 @@ def _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interp
     return out[:, :n].reshape(b, n, h, d)
 
 
-def _qknorm_fwd(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret):
-    out = _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, block_k, interpret)
+def _qknorm_fwd(q, k, v, nk, nv, qs, ks, bias, scale, block_q, interpret):
+    out = _qknorm_flash(q, k, v, nk, nv, qs, ks, bias, scale, block_q, interpret)
     return out, (q, k, v, nk, nv, qs, ks, bias)
 
 
-def _qknorm_bwd(scale, block_q, block_k, interpret, res, g):
+def _qknorm_bwd(scale, block_q, interpret, res, g):
     q, k, v, nk, nv, qs, ks, bias = res
 
     def ref(q, k, v, nk, nv, qs, ks):
@@ -433,7 +443,6 @@ def qknorm_attend(
     scale: float = 8.0,
     impl: str = "auto",
     block_q: int = 256,
-    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> Array:
     """Fused qk-l2norm attention with a learned null KV pair.
@@ -460,13 +469,12 @@ def qknorm_attend(
 
     assert impl == "flash"
     block_q = min(block_q, _round_up(n, 8))
-    block_k = min(block_k, _round_up(m, 128))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _qknorm_flash(
         q, k, v, null_k, null_v,
         q_scale.astype(jnp.float32), k_scale.astype(jnp.float32),
-        bias, float(scale), block_q, block_k, interpret,
+        bias, float(scale), block_q, interpret,
     )
 
 

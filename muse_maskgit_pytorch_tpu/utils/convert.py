@@ -11,6 +11,8 @@ init (documented in models/t5.py and models/vgg.py).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -50,12 +52,54 @@ def _hf_local_first(fn, name_or_path: str, **kw):
     try:
         return fn(name_or_path, **kw)
     except Exception as e:
-        if any(
-            s in repr(e)
-            for s in ("NameResolutionError", "MaxRetryError", "ConnectionError", "OfflineMode")
-        ):
+        if _is_connectivity_error(e):
             _HUB_UNREACHABLE = True
         raise
+
+
+def _is_connectivity_error(e: BaseException) -> bool:
+    """True when an exception (or anything in its cause/context chain) looks
+    like hub connectivity trouble rather than a genuinely-missing repo. Class
+    hierarchy first (requests.RequestException covers ConnectTimeout /
+    SSLError / ProxyError / 5xx retries; OSError covers the socket layer and
+    transformers' own "couldn't connect" wrapper), substring fallback for
+    anything exotic."""
+    conn_types = [OSError]
+    try:
+        import requests
+
+        conn_types.append(requests.exceptions.RequestException)
+    except ImportError:
+        pass
+    try:
+        import urllib3
+
+        conn_types.append(urllib3.exceptions.HTTPError)
+    except ImportError:
+        pass
+    conn_types = tuple(conn_types)
+
+    seen, chain = set(), []
+    node: Optional[BaseException] = e
+    while node is not None and id(node) not in seen:
+        seen.add(id(node))
+        chain.append(node)
+        node = node.__cause__ or node.__context__
+    if any(isinstance(c, conn_types) for c in chain):
+        return True
+    return any(
+        s in repr(e)
+        for s in (
+            "NameResolutionError",
+            "MaxRetryError",
+            "ConnectionError",
+            "ConnectTimeout",
+            "SSLError",
+            "ProxyError",
+            "OfflineMode",
+            "couldn't connect",
+        )
+    )
 
 
 def load_hf_t5_weights(model, name_or_path: str) -> None:

@@ -135,9 +135,18 @@ def test_qknorm_flash_matches_xla(rng, masked):
     ref = qknorm_attend(q, k, v, nk, nv, qs, ks, mask=mask, scale=8.0, impl="xla")
     out = qknorm_attend(
         q, k, v, nk, nv, qs, ks, mask=mask, scale=8.0,
-        impl="flash", interpret=True, block_k=128,
+        impl="flash", interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2, rtol=0)
+
+
+def test_qknorm_flash_rejects_oversized_kv(rng):
+    # ADVICE r2: the kernel holds a whole batch row's K/V in VMEM (no kv
+    # chunking); a too-long context must fail loudly, not at Mosaic lowering
+    q, k, v = _raw_qkv(rng, b=1, n=8, m=16384, d=64, h=2)
+    nk, nv, qs, ks = _fused_params(jax.random.PRNGKey(11), d=64, h=2)
+    with pytest.raises(AssertionError, match="VMEM"):
+        qknorm_attend(q, k, v, nk, nv, qs, ks, scale=8.0, impl="flash", interpret=True)
 
 
 def test_qknorm_flash_fully_masked_context(rng):

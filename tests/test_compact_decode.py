@@ -90,6 +90,49 @@ def test_compact_auto_off_when_can_remask():
     assert out.shape == (B, 8, 8)
 
 
+def test_compact_custom_schedule_step0_not_full():
+    # ADVICE r2: a custom schedule with schedule(0) < 1 breaks the
+    # refill-everything-at-step-0 invariant — _compact_segments must force
+    # step 0 onto the full-sequence body so no mask_id survives to the VAE
+    from muse_maskgit_pytorch_tpu.models.maskgit import _compact_segments
+
+    def half_schedule(t):
+        return 0.5 * jnp.cos(t * jnp.pi * 0.5)
+
+    segs = _compact_segments(half_schedule, SEQ, T)
+    assert segs[0][2] == SEQ  # step 0 bucket covers the whole sequence
+
+    mg = _build(self_cond=False)
+    mg.noise_schedule = half_schedule
+    kwargs = _gen_kwargs()
+    full = mg.generate(sampler="xla", compact=False, **kwargs)
+    comp = mg.generate(sampler="xla", compact=True, **kwargs)
+    # every position sampled (no out-of-codebook mask_id leaks), paths agree
+    assert int(comp.max()) < VOCAB
+    assert jnp.array_equal(full, comp)
+
+
+def test_compact_explicit_true_with_can_remask_warns_and_falls_back():
+    # ADVICE r2: explicit compact=True + can_remask_prev_masked without a
+    # critic must warn and fall back rather than silently change semantics
+    tr = MaskGitTransformer(
+        num_tokens=VOCAB, dim=64, seq_len=SEQ, depth=2, dim_head=16, heads=4,
+        text_embed_dim=32, rngs=nnx.Rngs(0),
+    )
+    vae = VQGanVAE(
+        dim=16, layers=2, codebook_size=VOCAB, use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(image_size=32, transformer=tr, vae=vae, no_mask_token_prob=0.1)
+    kwargs = _gen_kwargs()
+    ref = mg.generate(sampler="xla", can_remask_prev_masked=True, compact=False, **kwargs)
+    with pytest.warns(UserWarning, match="can_remask_prev_masked"):
+        out = mg.generate(
+            sampler="xla", can_remask_prev_masked=True, compact=True, **kwargs
+        )
+    assert jnp.array_equal(ref, out)
+
+
 def test_compact_no_injected_noise_runs():
     mg = _build(self_cond=False)
     te = jax.random.normal(jax.random.PRNGKey(1), (B, 6, 32))
