@@ -45,7 +45,45 @@ from muse_maskgit_pytorch_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
     is_main_process,
+    sharded_state_bytes,
+    state_shardings,
 )
+
+
+def _state_jit_kwargs(trainer):
+    """jit kwargs pinning the step's output state to the FSDP shardings (and
+    the logs to replicated). Without the pin, XLA may resolve the updated
+    state to different layouts and the sharding decays after one step."""
+    if getattr(trainer, "state_shardings", None) is None:
+        return {}
+    replicated = NamedSharding(trainer.mesh, P())
+    return dict(out_shardings=(trainer.state_shardings, replicated))
+
+
+def _maybe_shard_state(trainer, shard_state: bool):
+    """FSDP/ZeRO: place the trainer's state pytree with each big leaf sharded
+    over the mesh's fsdp (or data) axis, and return the NamedSharding tree
+    (used to pin the jitted step's out_shardings so updated state stays
+    sharded). Returns None when sharding is off or the mesh is trivial.
+
+    The reference replicates the full params+Adam(+EMA) state per device
+    (DDP, trainers.py:147-159); at the reference VAE scale that 5.8G is what
+    caps one v5e at micro-batch 4 (BASELINE.md). Sharded, per-chip state is
+    total/axis_size and XLA all-gathers weights into the forward over ICI.
+    """
+    if not shard_state:
+        return None
+    mesh = trainer.mesh
+    if getattr(mesh, "size", 1) <= 1:
+        return None
+    shardings = state_shardings(trainer.state, mesh)
+    trainer.state = jax.tree.map(jax.device_put, trainer.state, shardings)
+    total, per_dev = sharded_state_bytes(trainer.state)
+    trainer.print(
+        f"sharded train state over mesh {dict(mesh.shape)}: "
+        f"{total / 1e9:.2f}G total, {per_dev / 1e9:.2f}G per device"
+    )
+    return shardings
 
 
 def _put_microbatched(arr, mesh):
@@ -74,6 +112,7 @@ from muse_maskgit_pytorch_tpu.training.data import (
     ImageDataset,
     cycle,
     make_grid,
+    prefetch_iterator,
     save_image,
     split_dataset,
 )
@@ -148,6 +187,7 @@ class VQGanVAETrainer:
         ema_update_every: int = 1,
         apply_grad_penalty_every: int = 4,
         mesh=None,
+        shard_state: bool = False,
         seed: int = 0,
         clear_previous_results: Optional[bool] = None,
         dataset=None,
@@ -190,6 +230,7 @@ class VQGanVAETrainer:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
+        self.state_shardings = _maybe_shard_state(self, shard_state)
 
         # dataset + split (reference trainers.py:187-214)
         ds = default(dataset, lambda: ImageDataset(folder, image_size))
@@ -249,14 +290,16 @@ class VQGanVAETrainer:
         )
 
     def save(self, path=None):
-        if not is_main_process():
-            return
+        # every process calls in: Orbax coordinates multi-host sharded saves
+        # itself (a rank gate here would deadlock them; harmless solo)
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         save_train_state(ckpt_dir, self.steps, {k: v for k, v in self.state.items()})
 
     def load(self, path=None, step: Optional[int] = None):
         ckpt_dir = default(path, self.results_folder / "checkpoints")
-        restored, s = load_train_state(ckpt_dir, step, target=self.state)
+        restored, s = load_train_state(
+            ckpt_dir, step, target=self.state, shardings=self.state_shardings
+        )
         self.state = restored
         self.state["step"] = jnp.asarray(s, jnp.int32)
 
@@ -269,6 +312,7 @@ class VQGanVAETrainer:
         has_discr = self.has_discr
         gp_every = self.apply_grad_penalty_every
         accum = self.grad_accum_every
+        jit_kwargs = _state_jit_kwargs(self)
 
         def gen_loss_fn(gen_params, discr_params, vgg_params, rest, img, key):
             model = nnx.merge(graphdef, discr_params, vgg_params, gen_params, rest)
@@ -296,7 +340,7 @@ class VQGanVAETrainer:
 
             return jax.lax.cond(apply_gp, with_gp, without_gp, None)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
         def train_step(state, gen_imgs, discr_imgs):
             # gen_imgs/discr_imgs: (accum, B, H, W, C)
             rng = state["rng"]
@@ -491,6 +535,7 @@ class MaskGitTrainer:
         ema_update_after_step: int = 0,
         ema_update_every: int = 1,
         mesh=None,
+        shard_state: bool = False,
         seed: int = 0,
         attn_impl: str = "auto",
         metrics_file=None,
@@ -535,6 +580,7 @@ class MaskGitTrainer:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
+        self.state_shardings = _maybe_shard_state(self, shard_state)
 
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
@@ -564,14 +610,16 @@ class MaskGitTrainer:
         return nnx.merge(self.graphdef, params, self.state["frozen"])
 
     def save(self, path=None):
-        if not is_main_process():
-            return
+        # every process calls in: Orbax coordinates multi-host sharded saves
+        # itself (a rank gate here would deadlock them; harmless solo)
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         save_train_state(ckpt_dir, self.steps, self.state)
 
     def load(self, path=None, step=None):
         ckpt_dir = default(path, self.results_folder / "checkpoints")
-        restored, s = load_train_state(ckpt_dir, step, target=self.state)
+        restored, s = load_train_state(
+            ckpt_dir, step, target=self.state, shardings=self.state_shardings
+        )
         self.state = restored
         self.state["step"] = jnp.asarray(s, jnp.int32)
 
@@ -581,6 +629,7 @@ class MaskGitTrainer:
         accum = self.grad_accum_every
         use_ema, ema_kwargs = self.use_ema, self.ema_kwargs
         attn_impl = self.attn_impl
+        jit_kwargs = _state_jit_kwargs(self)
 
         def loss_fn(params, frozen, images, text_embeds, text_mask, key):
             model: MaskGit = nnx.merge(graphdef, params, frozen)
@@ -592,7 +641,7 @@ class MaskGitTrainer:
                 attn_impl=attn_impl,
             )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
         def train_step(state, images, text_embeds, text_mask):
             # leading dim = accum micro-batches
             rng, step = state["rng"], state["step"]
@@ -648,13 +697,13 @@ class MaskGitTrainer:
         self.metrics.log(self.steps - 1, **logs)
         return logs
 
-    def train(self, data_iter, log_fn: Callable = lambda *a, **k: None):
-        """data_iter yields (images (B,H,W,C) float [0,1], texts: list[str])
-        per micro-batch."""
+    def _encoded_accum_batches(self, data_iter):
+        """Yield (images, text_embeds, text_mask) stacked accumulation
+        batches, T5-encoding and length-padding on the host."""
         from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
 
         t5_name = self.maskgit_module().transformer.t5_name
-        while self.steps < self.num_train_steps:
+        while True:
             imgs, tes, tms = [], [], []
             max_len = 0
             for _ in range(self.grad_accum_every):
@@ -670,7 +719,17 @@ class MaskGitTrainer:
                 if pad:
                     tes[i] = np.pad(tes[i], ((0, 0), (0, pad), (0, 0)))
                     tms[i] = np.pad(tms[i], ((0, 0), (0, pad)))
-            logs = self.train_step_arrays(np.stack(imgs), np.stack(tes), np.stack(tms))
+            yield np.stack(imgs), np.stack(tes), np.stack(tms)
+
+    def train(self, data_iter, log_fn: Callable = lambda *a, **k: None, prefetch: int = 2):
+        """data_iter yields (images (B,H,W,C) float [0,1], texts: list[str])
+        per micro-batch. `prefetch` > 0 moves the host-side batch prep (incl.
+        the frozen-T5 text encoding) to a background thread so it overlaps
+        the device step; 0 restores the strictly-alternating behavior."""
+        batches = prefetch_iterator(self._encoded_accum_batches(data_iter), prefetch)
+        while self.steps < self.num_train_steps:
+            images, tes, tms = next(batches)
+            logs = self.train_step_arrays(images, tes, tms)
             self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
             if (self.steps - 1) % self.save_model_every == 0:
                 self.save()

@@ -85,11 +85,18 @@ def _checkpointer():
 
 
 def save_train_state(ckpt_dir, step: int, tree) -> None:
-    """tree: any pytree (params/opt states/ema/step/rng)."""
+    """tree: any pytree (params/opt states/ema/step/rng).
+
+    jax.Arrays pass straight to Orbax, which serializes them sharding-aware:
+    a multi-device (FSDP) state is written shard-by-shard without first
+    gathering 5.8G through one host's RAM — and a multi-host sharded array
+    (where `np.asarray` would simply fail) saves correctly with every process
+    calling this function. (Replaces the reference's rank-0 `torch.save` of a
+    replicated state dict, trainers.py:391-403.)"""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step:08d}"
-    _checkpointer().save(path, jax.tree.map(np.asarray, tree), force=True)
+    _checkpointer().save(path, tree, force=True)
 
 
 def latest_step(ckpt_dir) -> Optional[int]:
@@ -104,11 +111,26 @@ def latest_step(ckpt_dir) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def load_train_state(ckpt_dir, step: Optional[int] = None, target=None):
+def load_train_state(ckpt_dir, step: Optional[int] = None, target=None, shardings=None):
+    """`shardings`: optional pytree of `jax.sharding.Sharding` matching
+    `target` — each leaf restores DIRECTLY onto its mesh shards (no
+    host-replicated intermediate), so an FSDP state resumes sharded."""
     ckpt_dir = Path(ckpt_dir).absolute()
     if step is None:
         step = latest_step(ckpt_dir)
         assert step is not None, f"no checkpoints in {ckpt_dir}"
     path = ckpt_dir / f"step_{step:08d}"
-    restored = _checkpointer().restore(path, item=target)
+    if shardings is None:
+        restored = _checkpointer().restore(path, item=target)
+    else:
+        import orbax.checkpoint as ocp
+
+        restore_args = jax.tree.map(
+            lambda s: ocp.ArrayRestoreArgs(sharding=s, restore_type=jax.Array),
+            shardings,
+            is_leaf=lambda x: isinstance(x, jax.sharding.Sharding),
+        )
+        restored = _checkpointer().restore(
+            path, item=target, restore_args=restore_args
+        )
     return restored, step
