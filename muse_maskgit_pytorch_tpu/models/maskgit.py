@@ -536,10 +536,22 @@ def _generate_jit(
     seq_len = fmap_size * fmap_size
 
     if exists(neg_text_embeds):
-        demask_fn = functools.partial(
-            transformer.forward_with_neg_prompt, neg_text_embeds=neg_text_embeds
+        # the two CFG halves have DIFFERENT contexts here (pos vs neg text),
+        # so the per-layer K/V cache carries both, pos rows then neg rows —
+        # still projected once per generate instead of once per step per layer
+        ctx_kv, (text_embeds, text_mask), (neg_text_embeds, neg_text_mask) = (
+            transformer.precompute_context_kv_neg(
+                text_embeds=text_embeds,
+                neg_text_embeds=neg_text_embeds,
+                text_mask=text_mask,
+                conditioning_token_ids=cond_ids,
+            )
         )
-        ctx_kv = None  # pos/neg halves have different contexts
+        demask_fn = functools.partial(
+            transformer.forward_with_neg_prompt,
+            neg_text_embeds=neg_text_embeds,
+            neg_text_mask=neg_text_mask,
+        )
     else:
         demask_fn = transformer.forward_with_cond_scale
         # the cross-attn context (text ⧺ conditioning tokens) is constant

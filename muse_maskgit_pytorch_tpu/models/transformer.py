@@ -42,6 +42,18 @@ def l2norm(t: Array, eps: float = 1e-12) -> Array:
     return t * jax.lax.rsqrt(jnp.sum(jnp.square(t), axis=-1, keepdims=True) + eps)
 
 
+def _pad_text_to(t: Array, mask: Array, L: int):
+    """Right-pad (b, n, d) embeds + (b, n) mask to text length L (padding
+    positions masked out)."""
+    pad = L - t.shape[1]
+    if pad == 0:
+        return t, mask
+    return (
+        jnp.pad(t, ((0, 0), (0, pad), (0, 0))),
+        jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False),
+    )
+
+
 class LayerNorm(nnx.Module):
     """Gamma-only LayerNorm (reference muse_maskgit_pytorch.py:63-70)."""
 
@@ -347,6 +359,41 @@ class Transformer(nnx.Module):
             context = jnp.concatenate([context, cond_token_emb], axis=-2)
         return self.transformer_blocks.compute_context_kv(context)
 
+    def precompute_context_kv_neg(
+        self,
+        *,
+        text_embeds: Array,
+        neg_text_embeds: Array,
+        text_mask: Optional[Array] = None,
+        neg_text_mask: Optional[Array] = None,
+        conditioning_token_ids: Optional[Array] = None,
+    ):
+        """Per-layer cross-attn K/V for `forward_with_neg_prompt`'s doubled
+        batch (pos rows then neg rows, padded to one shared text length) — so
+        negative-prompt decoding gets the same once-per-generate context
+        projection as the cond-scale path instead of re-projecting per step
+        per layer. Returns `(context_kv, (text_embeds, text_mask),
+        (neg_text_embeds, neg_text_mask))` with the PADDED tensors; pass
+        those back to the forward so masks stay consistent."""
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        if neg_text_mask is None:
+            neg_text_mask = jnp.any(neg_text_embeds != 0, axis=-1)
+        L = max(text_embeds.shape[1], neg_text_embeds.shape[1])
+        text_embeds, text_mask = _pad_text_to(text_embeds, text_mask, L)
+        neg_text_embeds, neg_text_mask = _pad_text_to(neg_text_embeds, neg_text_mask, L)
+
+        double_embeds = jnp.concatenate([text_embeds, neg_text_embeds], axis=0)
+        cond2 = (
+            jnp.concatenate([conditioning_token_ids, conditioning_token_ids], axis=0)
+            if exists(conditioning_token_ids)
+            else None
+        )
+        ctx_kv = self.precompute_context_kv(
+            text_embeds=double_embeds, conditioning_token_ids=cond2
+        )
+        return ctx_kv, (text_embeds, text_mask), (neg_text_embeds, neg_text_mask)
+
     # -- CFG wrappers ---------------------------------------------------------
 
     def forward_with_cond_scale(
@@ -444,10 +491,13 @@ class Transformer(nnx.Module):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
         `return_raw_double` / `gather_positions` as in
-        `forward_with_cond_scale` (pos rows then neg rows). The context
-        differs between the halves here, so `context_kv` caching is not
-        supported on this wrapper."""
-        assert context_kv is None, "context_kv caching unsupported with negative prompts"
+        `forward_with_cond_scale` (pos rows then neg rows).
+
+        `context_kv`: precomputed per-layer cross-attn K/V for the DOUBLED
+        batch — pos rows' context then neg rows' context, both padded to the
+        same text length (`precompute_context_kv_neg` builds exactly this).
+        Unlike the cond-scale wrapper the two halves have different context
+        VALUES here, so the cache carries both."""
         b = x.shape[0]
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
@@ -455,20 +505,9 @@ class Transformer(nnx.Module):
             neg_text_mask = jnp.any(neg_text_embeds != 0, axis=-1)
 
         # pad text lengths to match so the two halves can batch together
-        lp, ln = text_embeds.shape[1], neg_text_embeds.shape[1]
-        L = max(lp, ln)
-
-        def pad_to(t, mask, L):
-            pad = L - t.shape[1]
-            if pad == 0:
-                return t, mask
-            return (
-                jnp.pad(t, ((0, 0), (0, pad), (0, 0))),
-                jnp.pad(mask, ((0, 0), (0, pad)), constant_values=False),
-            )
-
-        text_embeds, text_mask = pad_to(text_embeds, text_mask, L)
-        neg_text_embeds, neg_text_mask = pad_to(neg_text_embeds, neg_text_mask, L)
+        L = max(text_embeds.shape[1], neg_text_embeds.shape[1])
+        text_embeds, text_mask = _pad_text_to(text_embeds, text_mask, L)
+        neg_text_embeds, neg_text_mask = _pad_text_to(neg_text_embeds, neg_text_mask, L)
 
         def dup(t):
             return None if t is None else jnp.concatenate([t, t], axis=0)
@@ -482,6 +521,7 @@ class Transformer(nnx.Module):
             return_embed=True,
             attn_impl=attn_impl,
             gather_positions=dup(gather_positions),
+            context_kv=context_kv,
         )
         if return_raw_double:
             return logits2, embed2[:b]

@@ -123,6 +123,32 @@ def test_neg_prompt_works(rng):
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
 
 
+def test_neg_prompt_context_kv_cache_matches_uncached(rng):
+    """VERDICT r2 item 7: the negative-prompt path caches pos+neg context K/V
+    (pos rows then neg rows, shared padded length) — cached forward must
+    equal the uncached one, with and without conditioning tokens."""
+    t = tiny_transformer()
+    x, te = rand_inputs(rng)
+    neg_te = jax.random.normal(jax.random.PRNGKey(9), (2, 7, TEXT_DIM))
+    for cond_ids in (None, jax.random.randint(rng, (2, 4, 4), 0, VOCAB)):
+        uncached = t.forward_with_neg_prompt(
+            x, text_embeds=te, neg_text_embeds=neg_te, cond_scale=2.0,
+            conditioning_token_ids=cond_ids,
+        )
+        ctx_kv, (te_p, tm_p), (nte_p, ntm_p) = t.precompute_context_kv_neg(
+            text_embeds=te, neg_text_embeds=neg_te,
+            conditioning_token_ids=cond_ids,
+        )
+        cached = t.forward_with_neg_prompt(
+            x, text_embeds=te_p, text_mask=tm_p,
+            neg_text_embeds=nte_p, neg_text_mask=ntm_p, cond_scale=2.0,
+            conditioning_token_ids=cond_ids, context_kv=ctx_kv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(uncached), np.asarray(cached), atol=2e-5, rtol=1e-5
+        )
+
+
 def test_conditioning_tokens_extend_context(rng):
     t = tiny_transformer()
     x, te = rand_inputs(rng)
