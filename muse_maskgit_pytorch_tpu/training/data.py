@@ -127,6 +127,49 @@ def cycle(dl) -> Iterator:
         yield from dl
 
 
+def prefetch_iterator(it: Iterator, size: int = 2) -> Iterator:
+    """Run `it` in a background thread with a bounded queue, so producing the
+    next item (host IO, tokenization, frozen-T5 text encoding) overlaps the
+    consumer's device step. Exceptions re-raise at the consumer; the producer
+    thread stops when the consumer abandons the iterator (bounded-timeout
+    puts against a stop flag — no leaked thread pinned on a full queue)."""
+    if size <= 0:
+        yield from it
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    sentinel = object()
+
+    def run():
+        try:
+            for x in it:
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(sentinel)
+        except BaseException as e:  # surfaced to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            x = q.get()
+            if x is sentinel:
+                return
+            if isinstance(x, BaseException):
+                raise x
+            yield x
+    finally:
+        stop.set()
+
+
 def split_dataset(dataset: ImageDataset, valid_frac: float, seed: int = 42):
     """Random train/valid split (reference trainers.py:193-200)."""
     if valid_frac <= 0:

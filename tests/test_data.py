@@ -81,3 +81,49 @@ def test_save_image_and_pil(tmp_path):
 
     pils = to_pil_images(imgs)
     assert len(pils) == 2 and pils[0].size == (8, 8)
+
+
+def test_prefetch_iterator_order_and_exhaustion():
+    from muse_maskgit_pytorch_tpu.training.data import prefetch_iterator
+
+    out = list(prefetch_iterator(iter(range(20)), size=3))
+    assert out == list(range(20))
+    # size=0 falls back to the plain iterator
+    assert list(prefetch_iterator(iter(range(5)), size=0)) == list(range(5))
+
+
+def test_prefetch_iterator_propagates_exceptions():
+    from muse_maskgit_pytorch_tpu.training.data import prefetch_iterator
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch_iterator(boom(), size=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="producer failed"):
+        next(it)
+
+
+def test_prefetch_iterator_abandonment_stops_producer():
+    import itertools
+    import time
+
+    from muse_maskgit_pytorch_tpu.training.data import prefetch_iterator
+
+    produced = []
+
+    def infinite():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    it = prefetch_iterator(infinite(), size=2)
+    assert next(it) == 0
+    it.close()  # consumer walks away; bounded-timeout puts observe the stop flag
+    time.sleep(1.2)
+    n = len(produced)
+    time.sleep(0.8)
+    assert len(produced) == n  # producer made no further progress
