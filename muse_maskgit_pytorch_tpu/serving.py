@@ -11,6 +11,8 @@ device syncs, SURVEY.md §3.3.)
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 from typing import List, Optional, Sequence, Union
 
@@ -20,6 +22,30 @@ import numpy as np
 
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
+
+
+def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Point XLA's persistent compilation cache at a disk directory so a
+    server process pays the full generate-scan compile (20 s – minutes for
+    the cascade) at most ONCE per shape set across restarts: the next process
+    deserializes the cached executable in seconds. Returns the directory, or
+    None if the backend declined. Safe to call repeatedly.
+
+    Cold-start recipe: fixed shapes (GeneratePipeline pins batch/text-len) +
+    this cache + `warmup()` at boot. Override the location with `cache_dir`
+    or MUSE_COMPILE_CACHE; defaults to a shared tmp path.
+    """
+    cache_dir = (
+        cache_dir
+        or os.environ.get("MUSE_COMPILE_CACHE")
+        or os.path.join(tempfile.gettempdir(), "muse_maskgit_tpu_compile_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        return str(cache_dir)
+    except Exception:
+        return None
 
 
 class GeneratePipeline:
@@ -47,7 +73,18 @@ class GeneratePipeline:
         seed: int = 0,
         return_pil: bool = True,
         negative_prompt: Optional[str] = None,
+        compile_cache: Union[bool, str, None] = True,
     ):
+        # cold-start story: persistent XLA compile cache ON by default — a
+        # restarted server deserializes the cascade executables instead of
+        # recompiling for minutes (measured in BASELINE.md "serving cold
+        # start"). True = default dir, str = custom dir, False/None = off.
+        if compile_cache:
+            self.compile_cache_dir = enable_persistent_compile_cache(
+                None if compile_cache is True else compile_cache
+            )
+        else:
+            self.compile_cache_dir = None
         self.model = model
         self.is_cascade = isinstance(model, Muse)
         self.batch_size = batch_size
