@@ -487,6 +487,15 @@ def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
 # ---------------------------------------------------------------------------
 
 
+def _double_ctx_kv(ctx_kv):
+    """Duplicate a per-layer K/V cache along batch for a CFG-doubled forward
+    (both halves share context values; only the mask differs)."""
+    return [
+        (jnp.concatenate([k, k], 0), jnp.concatenate([v, v], 0))
+        for k, v in ctx_kv
+    ]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -562,19 +571,37 @@ def _generate_jit(
             text_embeds=text_embeds, conditioning_token_ids=cond_ids
         )
         if cond_scale != 1:
-            ctx_kv = [
-                (jnp.concatenate([k, k], 0), jnp.concatenate([v, v], 0))
-                for k, v in ctx_kv
-            ]
+            ctx_kv = _double_ctx_kv(ctx_kv)
 
     if use_token_critic:
+        critic = model.token_critic
         if exists(neg_text_embeds):
             critic_fn = functools.partial(
-                model.token_critic.forward_with_neg_prompt,
+                critic.forward_with_neg_prompt,
                 neg_text_embeds=neg_text_embeds,
+                neg_text_mask=neg_text_mask,
             )
+            if isinstance(critic, SelfCritic):
+                # shares the generator backbone -> shares its K/V cache
+                critic_ctx_kv = ctx_kv
+            else:
+                critic_ctx_kv, _, _ = critic.precompute_context_kv_neg(
+                    text_embeds=text_embeds,
+                    neg_text_embeds=neg_text_embeds,
+                    text_mask=text_mask,
+                    neg_text_mask=neg_text_mask,
+                    conditioning_token_ids=cond_ids,
+                )
         else:
-            critic_fn = model.token_critic.forward_with_cond_scale
+            critic_fn = critic.forward_with_cond_scale
+            if isinstance(critic, SelfCritic):
+                critic_ctx_kv = ctx_kv
+            else:
+                critic_ctx_kv = critic.precompute_context_kv(
+                    text_embeds=text_embeds, conditioning_token_ids=cond_ids
+                )
+                if cond_scale != 1:
+                    critic_ctx_kv = _double_ctx_kv(critic_ctx_kv)
 
     ids0 = jnp.full((batch, seq_len), mask_id, jnp.int32)
     scores0 = jnp.zeros((batch, seq_len), jnp.float32)
@@ -732,6 +759,7 @@ def _generate_jit(
                 text_mask=text_mask,
                 conditioning_token_ids=cond_ids,
                 cond_scale=cond_scale,
+                context_kv=critic_ctx_kv,
             )
             new_scores = critic_logits[..., 0]
             noise = (
