@@ -65,6 +65,180 @@ def time_generate(mg, batch, timesteps=18, attn_impl="auto", n_runs=5, **kw):
     return batch / dt, dt
 
 
+def exp_residual():
+    """Isolate the decode loop's NON-compute stages (VERDICT r2 item 4): the
+    remask rank block, the scan/carry overhead, and the compact batch-scaling
+    knee — each as its own jitted scan over 18 steps, timings ending in a
+    device->host fetch. Run: python bench_sweep.py residual"""
+    # NOTE r3: at T=18 the ~30 ms/call tunnel RPC floor swamps the block
+    # cost (carry-only == RPC). T amplified 50x so device time dominates;
+    # divide the printed number by AMP for the per-18-step cost.
+    AMP = 50
+    T = 18 * AMP
+    for batch, seq, kb in [(32, 256, 256), (32, 256, 96), (16, 1024, 384)]:
+        scores0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, seq))
+        ids0 = jnp.zeros((batch, seq), jnp.int32)
+        pred = jax.random.randint(jax.random.PRNGKey(1), (batch, kb), 0, 65536)
+        prob = jax.random.uniform(jax.random.PRNGKey(2), (batch, kb))
+
+        @jax.jit
+        def remask_block_scan(scores, ids):
+            # exactly the compact body's rank plumbing: 2 argsorts, compare,
+            # wheres, 2 gathers — chained through the carry to defeat DCE
+            def step(carry, _):
+                scores, ids = carry
+                order = jnp.argsort(-scores, axis=-1, stable=True)
+                ranks = jnp.argsort(order, axis=-1)
+                remask = ranks < kb // 2
+                x_in = jnp.where(remask, 65536, ids)
+                rank_idx = jnp.minimum(ranks, kb - 1)
+                pred_at = jnp.take_along_axis(pred, rank_idx, axis=1)
+                prob_at = jnp.take_along_axis(prob, rank_idx, axis=1)
+                ids = jnp.where(remask, pred_at, x_in)
+                scores = jnp.where(remask, 1.0 - prob_at, -1e5)
+                return (scores, ids), None
+
+            return jax.lax.scan(step, (scores, ids), None, length=T)[0]
+
+        @jax.jit
+        def topk_variant_scan(scores, ids):
+            # candidate variant: lax.top_k for the candidate set + one-hot
+            # matmul placement instead of the second argsort
+            def step(carry, _):
+                scores, ids = carry
+                _, cand = jax.lax.top_k(scores, kb)  # (b, kb) desc, ties low-idx
+                onehot = (
+                    cand[:, :, None] == jnp.arange(seq)[None, None, :]
+                )  # (b, kb, seq)
+                sel = (jnp.arange(kb) < kb // 2)[None, :, None]
+                remask = jnp.any(onehot & sel, axis=1)
+                pred_at = jnp.einsum(
+                    "bk,bks->bs", pred.astype(jnp.float32), onehot.astype(jnp.float32)
+                ).astype(jnp.int32)
+                prob_at = jnp.einsum(
+                    "bk,bks->bs", prob, onehot.astype(jnp.float32)
+                )
+                ids = jnp.where(remask, pred_at, ids)
+                scores = jnp.where(remask, 1.0 - prob_at, -1e5)
+                return (scores, ids), None
+
+            return jax.lax.scan(step, (scores, ids), None, length=T)[0]
+
+        @jax.jit
+        def carry_only_scan(scores, ids):
+            # floor: scan overhead + trivial carry touch, same shapes
+            def step(carry, _):
+                scores, ids = carry
+                return (scores + 1.0, ids + 1), None
+
+            return jax.lax.scan(step, (scores, ids), None, length=T)[0]
+
+        for name, fn in [
+            ("remask-block", remask_block_scan),
+            ("topk+onehot ", topk_variant_scan),
+            ("carry-only  ", carry_only_scan),
+        ]:
+            out = fn(scores0, ids0)
+            _ = float(out[0].sum())
+            t0 = time.perf_counter()
+            n = 10
+            for _i in range(n):
+                out = fn(scores0, ids0)
+                _ = float(out[0].sum())
+            dt = (time.perf_counter() - t0) / n
+            log(
+                f"  b{batch} seq{seq} kb{kb} {name}: {dt*1e3/AMP:7.3f} ms "
+                f"/ 18 steps (amortized over {AMP}x)"
+            )
+
+
+def exp_vae_dtype():
+    """bf16 vs f32 VAE inference at the reference dim-256 scale: decode
+    ms/img and end-to-end base generate. Run: python bench_sweep.py vae"""
+    ids = jax.random.randint(jax.random.PRNGKey(0), (32, 64, 64), 0, 65536)
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        vae = VQGanVAE(
+            dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False,
+            dtype=dtype, rngs=nnx.Rngs(0),
+        )
+        graphdef, state = nnx.split(vae)
+
+        @jax.jit
+        def dec(state, ids):
+            return nnx.merge(graphdef, state).decode_from_ids(ids)
+
+        out = dec(state, ids)
+        outs[dtype.__name__] = jnp.asarray(out, jnp.float32)
+        _ = float(out.sum())
+        t0 = time.perf_counter()
+        for _i in range(10):
+            out = dec(state, ids)
+            _ = float(out.sum())
+        ms = (time.perf_counter() - t0) / 10 / ids.shape[0] * 1000
+        log(f"  VAE dim256 decode {dtype.__name__}: {ms:.3f} ms/img")
+
+        base = build(256, 256, vae=vae, dtype=jnp.bfloat16)
+        ips, dt = time_generate(base, 32)
+        log(f"  base generate w/ {dtype.__name__} VAE: {ips:.2f} img/s")
+    diff = jnp.abs(outs["float32"] - outs["bfloat16"]).max()
+    log(f"  max |f32 - bf16| pixel diff: {float(diff):.4f} (images in [0,1])")
+
+
+def exp_bisect():
+    """Sampler bisection rounds A/B: fewer rounds = coarser top-k threshold
+    = faster VPU loop; checks token agreement vs the 10-round default.
+    Run: python bench_sweep.py bisect"""
+    import muse_maskgit_pytorch_tpu.ops.sampling_kernel as sk
+
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    base = build(256, 256, vae=vae)
+    te = jax.random.normal(jax.random.PRNGKey(0), (32, 64, 768), jnp.float32)
+    tm = jnp.ones((32, 64), bool)
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    ref_ids = None
+    for iters in (10, 9, 8):
+        sk._BISECT_ITERS = iters
+        # the constant is read at trace time and is NOT part of the jit key —
+        # force a fresh trace per setting
+        _generate_jit.clear_cache()
+        ids = base.generate(
+            text_embeds=te, text_mask=tm, rng=jax.random.PRNGKey(7),
+            timesteps=18, cond_scale=3.0, return_ids=True,
+        )
+        ids.block_until_ready()
+        t0 = time.perf_counter()
+        n = 5
+        for i in range(n):
+            out = base.generate(
+                text_embeds=te, text_mask=tm, rng=jax.random.PRNGKey(7),
+                timesteps=18, cond_scale=3.0, return_ids=True,
+            )
+            _ = int(out.sum())
+        dt = (time.perf_counter() - t0) / n
+        if ref_ids is None:
+            ref_ids = out
+            agree = 1.0
+        else:
+            agree = float((out == ref_ids).mean())
+        log(
+            f"  bisect {iters} rounds: {32/dt:7.2f} img/s "
+            f"(token agreement vs 10 rounds: {agree:.4f})"
+        )
+    sk._BISECT_ITERS = 10
+
+
+def exp_batch_knee():
+    """Compact-decode batch scaling incl. the r2 b64 regression re-exam.
+    Run: python bench_sweep.py knee"""
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    base = build(256, 256, vae=vae)
+    for batch in [16, 32, 48, 64]:
+        ips, dt = time_generate(base, batch)
+        log(f"  batch {batch:3d}: {ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)")
+
+
 def main():
     vae = VQGanVAE(dim=128, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
 
@@ -106,4 +280,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
+    if cmd == "residual":
+        exp_residual()
+    elif cmd == "knee":
+        exp_batch_knee()
+    elif cmd == "vae":
+        exp_vae_dtype()
+    elif cmd == "bisect":
+        exp_bisect()
+    else:
+        main()

@@ -624,11 +624,13 @@ def _generate_jit(
         exactly num_token_masked (<= kb, static bucket) positions are masked
         each step because every position was refilled the step before, so the
         vocab-65536 logits head and the sampler run only on the kb gathered
-        candidate positions; results scatter back. Exact equivalence with the
-        full body: remask candidates come from `lax.top_k(scores, kb)` whose
-        ties break lowest-index-first exactly like `mask_by_topk_scores`'
-        stable double-argsort, and unmasked positions' scores are pinned to
-        -1e5 (or come from the full-seq critic) on both paths."""
+        candidate positions; results place back through a (b, kb, seq)
+        one-hot (masked reductions — 5x cheaper than the double-argsort rank
+        plumbing it replaced, r3 A/B in BASELINE.md). Exact equivalence with
+        the full body: `lax.top_k(scores, kb)` breaks ties
+        lowest-index-first exactly like `mask_by_topk_scores`' stable double
+        argsort, and unmasked positions' scores are pinned to -1e5 (or come
+        from the full-seq critic) on both paths."""
         ids, scores, self_cond_embed = carry
         t, steps_left, key, g_inj = xs
         k_gumbel, k_critic_noise = jax.random.split(key)
@@ -658,15 +660,19 @@ def _generate_jit(
             gather_pos = None
             g_inj_use = g_inj
         else:
-            # sort + gather only — 2D-index scatters serialize on TPU, so
-            # results are placed back by GATHERING from the rank-indexed
-            # compact outputs instead of scattering into the sequence
+            # top-k + one-hot placement — 2D-index scatters serialize on TPU
+            # and a full double argsort costs 5x this block (r3 A/B,
+            # BASELINE.md): `lax.top_k` finds the kb candidates (ties break
+            # lowest-index-first, exactly like `mask_by_topk_scores`' stable
+            # double argsort), and a (b, kb, seq) one-hot turns the
+            # compact->sequence placements into VPU reductions/MXU dots
+            # instead of rank-indexed gathers
             num_token_masked = jnp.minimum(num_token_masked, kb)
-            order = jnp.argsort(-scores, axis=-1, stable=True)  # (b, seq)
-            ranks = jnp.argsort(order, axis=-1)  # position -> descending rank
-            remask = ranks < num_token_masked  # == mask_by_topk_scores
+            _, cand = jax.lax.top_k(scores, kb)  # (b, kb) descending
+            onehot = cand[:, :, None] == jnp.arange(seq_len)[None, None, :]
+            selected = jnp.arange(kb)[None, :, None] < num_token_masked  # scalar
+            remask = jnp.any(onehot & selected, axis=1)  # (b, seq)
             x_in = jnp.where(remask, mask_id, ids)
-            cand = order[:, :kb]  # (b, kb): the kb highest-score positions
             npos = kb
             gather_pos = cand
             g_inj_use = (
@@ -746,10 +752,13 @@ def _generate_jit(
             is_mask = x_in == mask_id
             ids_out = jnp.where(is_mask, pred_ids, x_in)
         else:
-            # place back by rank-gather: position j's sample is compact row
-            # ranks[j] (only used where remask, i.e. ranks[j] < num <= kb)
-            rank_idx = jnp.minimum(ranks, kb - 1)
-            pred_at_pos = jnp.take_along_axis(pred_ids, rank_idx, axis=1)
+            # place back via the one-hot: position j's sample is the compact
+            # row whose candidate index is j. Masked integer/f32 REDUCTIONS
+            # (not matmuls: TPU f32 dots default to bf16 MXU passes, which
+            # would corrupt token ids > 256)
+            pred_at_pos = jnp.sum(
+                jnp.where(onehot, pred_ids[:, :, None], 0), axis=1
+            )
             ids_out = jnp.where(remask, pred_at_pos, ids)
 
         if use_token_critic:
@@ -779,7 +788,9 @@ def _generate_jit(
                 if not can_remask_prev_masked:
                     new_scores = jnp.where(is_mask, new_scores, -1e5)
             else:
-                prob_at_pos = jnp.take_along_axis(chosen_prob, rank_idx, axis=1)
+                prob_at_pos = jnp.sum(
+                    jnp.where(onehot, chosen_prob[:, :, None], 0.0), axis=1
+                )
                 new_scores = jnp.where(remask, 1.0 - prob_at_pos, -1e5)
 
         return (ids_out, new_scores, new_self_cond), None
