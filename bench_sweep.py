@@ -102,8 +102,10 @@ def exp_residual():
 
         @jax.jit
         def topk_variant_scan(scores, ids):
-            # candidate variant: lax.top_k for the candidate set + one-hot
-            # matmul placement instead of the second argsort
+            # candidate variant AS SHIPPED in the compact body: lax.top_k for
+            # the candidate set + one-hot placement via masked REDUCTIONS
+            # (same ops as models/maskgit.py — not einsum: TPU f32 dots
+            # default to bf16 MXU passes that would corrupt token ids)
             def step(carry, _):
                 scores, ids = carry
                 _, cand = jax.lax.top_k(scores, kb)  # (b, kb) desc, ties low-idx
@@ -112,12 +114,8 @@ def exp_residual():
                 )  # (b, kb, seq)
                 sel = (jnp.arange(kb) < kb // 2)[None, :, None]
                 remask = jnp.any(onehot & sel, axis=1)
-                pred_at = jnp.einsum(
-                    "bk,bks->bs", pred.astype(jnp.float32), onehot.astype(jnp.float32)
-                ).astype(jnp.int32)
-                prob_at = jnp.einsum(
-                    "bk,bks->bs", prob, onehot.astype(jnp.float32)
-                )
+                pred_at = jnp.sum(jnp.where(onehot, pred[:, :, None], 0), axis=1)
+                prob_at = jnp.sum(jnp.where(onehot, prob[:, :, None], 0.0), axis=1)
                 ids = jnp.where(remask, pred_at, ids)
                 scores = jnp.where(remask, 1.0 - prob_at, -1e5)
                 return (scores, ids), None
@@ -155,6 +153,10 @@ def exp_residual():
 def exp_vae_dtype():
     """bf16 vs f32 VAE inference at the reference dim-256 scale: decode
     ms/img and end-to-end base generate. Run: python bench_sweep.py vae"""
+    # persistent cache: dodges the tunnel's flaky remote_compile on repeats
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ids = jax.random.randint(jax.random.PRNGKey(0), (32, 64, 64), 0, 65536)
     outs = {}
     for dtype in (jnp.float32, jnp.bfloat16):
@@ -196,13 +198,18 @@ def exp_bisect():
     te = jax.random.normal(jax.random.PRNGKey(0), (32, 64, 768), jnp.float32)
     tm = jnp.ones((32, 64), bool)
     from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+    from muse_maskgit_pytorch_tpu.ops.sampling_kernel import fused_topk_gumbel_sample
 
+    orig_iters = sk._BISECT_ITERS
     ref_ids = None
     for iters in (10, 9, 8):
         sk._BISECT_ITERS = iters
-        # the constant is read at trace time and is NOT part of the jit key —
-        # force a fresh trace per setting
+        # the constant is read at trace time and is NOT part of any jit key —
+        # clear BOTH caches: the sampler is itself jitted, so clearing only
+        # the outer _generate_jit leaves its cached 10-round jaxpr live
+        # (r3 bug: an A/B without this line ran the same kernel in every arm)
         _generate_jit.clear_cache()
+        fused_topk_gumbel_sample.clear_cache()
         ids = base.generate(
             text_embeds=te, text_mask=tm, rng=jax.random.PRNGKey(7),
             timesteps=18, cond_scale=3.0, return_ids=True,
@@ -226,7 +233,9 @@ def exp_bisect():
             f"  bisect {iters} rounds: {32/dt:7.2f} img/s "
             f"(token agreement vs 10 rounds: {agree:.4f})"
         )
-    sk._BISECT_ITERS = 10
+    sk._BISECT_ITERS = orig_iters
+    _generate_jit.clear_cache()
+    fused_topk_gumbel_sample.clear_cache()
 
 
 def exp_batch_knee():

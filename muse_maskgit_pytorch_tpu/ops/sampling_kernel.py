@@ -43,16 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e30
-# Each bisection round costs 2 full VPU passes over the row block, so fewer
-# rounds = directly faster sampling. Worst-case rank slack is V/2^r of
-# k = 6554 at the reference vocab (r=8 -> 256, ~4%), but that bound assumes
-# uniformly-spread logit VALUES; real (CFG-scaled) logits concentrate, and
-# the value-bisection threshold lands boundary-exact much earlier: r3
-# measured BIT-IDENTICAL output tokens vs r=10 for every r down to 5 across
-# seeds at the reference scale (batch 32 x 18 steps), with r=8 worth +4.9%
-# end-to-end (BASELINE.md). 8 keeps three verified rounds of margin.
-# History: 12 -> 10 in r2 (+1 img/s), 10 -> 8 in r3.
-_BISECT_ITERS = 8
+# 10 rounds pin the top-k threshold to rank slack V/2^10 = 64 of k = 6554
+# (1%) at the reference vocab — boundary-only, immaterial for the tail
+# filter. Each round costs 2 full VPU passes over the row block; 12 -> 10
+# measured +1 img/s end-to-end with identical output checksums (BASELINE.md).
+# NOTE: an r3 attempt to drop to 8 was reverted — its supporting A/B was
+# invalid (this function is itself jitted, so the harness's outer-jit
+# clear_cache() never retraced it and every arm ran the 10-round kernel;
+# see bench_sweep.exp_bisect for the fixed harness).
+_BISECT_ITERS = 10
 
 
 def _sample_kernel(

@@ -141,20 +141,24 @@ def prefetch_iterator(it: Iterator, size: int = 2) -> Iterator:
     stop = threading.Event()
     sentinel = object()
 
+    def put_bounded(x) -> bool:
+        """Put with stop-flag checks; False once the consumer walked away."""
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def run():
         try:
             for x in it:
-                while not stop.is_set():
-                    try:
-                        q.put(x, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_bounded(x):
                     return
-            q.put(sentinel)
+            put_bounded(sentinel)
         except BaseException as e:  # surfaced to the consumer
-            q.put(e)
+            put_bounded(e)
 
     t = threading.Thread(target=run, daemon=True)
     t.start()

@@ -290,8 +290,12 @@ class VQGanVAETrainer:
         )
 
     def save(self, path=None):
-        # every process calls in: Orbax coordinates multi-host sharded saves
-        # itself (a rank gate here would deadlock them; harmless solo)
+        # sharded state: every process calls in (Orbax coordinates multi-host
+        # sharded saves; a rank gate would deadlock them). Replicated state:
+        # arrays are process-local, so only rank 0 writes — concurrent
+        # uncoordinated saves of the same step dir would race.
+        if self.state_shardings is None and not is_main_process():
+            return
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         save_train_state(ckpt_dir, self.steps, {k: v for k, v in self.state.items()})
 
@@ -610,8 +614,12 @@ class MaskGitTrainer:
         return nnx.merge(self.graphdef, params, self.state["frozen"])
 
     def save(self, path=None):
-        # every process calls in: Orbax coordinates multi-host sharded saves
-        # itself (a rank gate here would deadlock them; harmless solo)
+        # sharded state: every process calls in (Orbax coordinates multi-host
+        # sharded saves; a rank gate would deadlock them). Replicated state:
+        # arrays are process-local, so only rank 0 writes — concurrent
+        # uncoordinated saves of the same step dir would race.
+        if self.state_shardings is None and not is_main_process():
+            return
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         save_train_state(ckpt_dir, self.steps, self.state)
 

@@ -59,19 +59,30 @@ def _hf_local_first(fn, name_or_path: str, **kw):
 
 def _is_connectivity_error(e: BaseException) -> bool:
     """True when an exception (or anything in its cause/context chain) looks
-    like hub connectivity trouble rather than a genuinely-missing repo. Class
-    hierarchy first (requests.RequestException covers ConnectTimeout /
-    SSLError / ProxyError / 5xx retries; OSError covers the socket layer and
-    transformers' own "couldn't connect" wrapper), substring fallback for
-    anything exotic."""
-    conn_types = [OSError]
+    like hub connectivity trouble rather than a genuinely-missing repo.
+    TRANSPORT-LEVEL classes only: generic OSError / RequestException would
+    also match a typo'd repo id (transformers raises plain OSError "not a
+    valid model identifier"; a hub 404 is RepositoryNotFoundError ⊂
+    HTTPError ⊂ RequestException) and poison the breaker for later valid
+    loads. Substring fallback covers transformers' own "couldn't connect"
+    OSError wrapper."""
+    import socket
+
+    conn_types = [ConnectionError, TimeoutError, socket.gaierror]
     try:
         import requests
 
-        conn_types.append(requests.exceptions.RequestException)
+        conn_types += [
+            requests.exceptions.ConnectionError,
+            requests.exceptions.Timeout,
+            requests.exceptions.SSLError,
+            requests.exceptions.ProxyError,
+        ]
     except ImportError:
         pass
     try:
+        # urllib3's HTTPError base covers only its transport errors
+        # (NewConnectionError/MaxRetryError/ProtocolError/...), never 404s
         import urllib3
 
         conn_types.append(urllib3.exceptions.HTTPError)
