@@ -94,12 +94,24 @@ def fsdp_axis_for(mesh: Mesh) -> Optional[str]:
     return None
 
 
-def fsdp_partition_specs(tree, mesh: Mesh, axis: Optional[str] = None, min_size: int = 16384):
+def fsdp_partition_specs(
+    tree,
+    mesh: Mesh,
+    axis: Optional[str] = None,
+    min_size: int = 16384,
+    base_rules=None,
+):
     """ZeRO/FSDP partition specs for a train-state pytree: each leaf shards
     its LARGEST evenly-divisible dim over `axis`; small leaves (< `min_size`
     elements — step counters, norms, scales) and leaves with no divisible dim
     replicate. Applied uniformly to params, optimizer moments and EMA (which
     mirror the param shapes, so they land on the same shards).
+
+    `base_rules` (regex TP rules, e.g. `DEFAULT_TP_RULES`) composes tensor
+    parallelism with FSDP: a leaf matching a rule keeps its TP dims (when
+    they divide) and the fsdp axis shards the largest REMAINING free dim —
+    the standard 2D `[fsdp, tensor]` layout for a `{'data': x, 'tensor': y}`
+    mesh.
 
     This replaces what the reference cannot do at all: its distributed story
     replicates the full model+Adam state on every GPU
@@ -109,30 +121,44 @@ def fsdp_partition_specs(tree, mesh: Mesh, axis: Optional[str] = None, min_size:
     (grads back to shards) over ICI from the shardings alone.
     """
     axis = axis or fsdp_axis_for(mesh)
-    if axis is None:
-        return jax.tree.map(lambda _: P(), tree)
-    n = mesh.shape[axis]
+    base = partition_specs_for(tree, base_rules) if base_rules else None
 
-    def spec(x):
-        shape = getattr(x, "shape", ())
-        if int(np.prod(shape, initial=1)) < min_size:
-            return P()
-        best, best_dim = -1, -1
-        for i, s in enumerate(shape):
-            if s % n == 0 and s > best:
-                best, best_dim = s, i
-        if best_dim < 0:
-            return P()
-        parts = [None] * len(shape)
-        parts[best_dim] = axis
+    def axis_size(ax) -> int:
+        if isinstance(ax, tuple):
+            return int(np.prod([mesh.shape[a] for a in ax]))
+        return mesh.shape[ax]
+
+    def to_spec(parts):
+        while parts and parts[-1] is None:
+            parts.pop()
         return P(*parts)
 
-    return jax.tree.map(spec, tree)
+    def spec(x, base_spec=None):
+        shape = getattr(x, "shape", ())
+        parts = [None] * len(shape)
+        if base_spec is not None:
+            for i, ax in enumerate(tuple(base_spec)[: len(shape)]):
+                if ax is not None and shape[i] % axis_size(ax) == 0:
+                    parts[i] = ax
+        if axis is None or int(np.prod(shape, initial=1)) < min_size:
+            return to_spec(parts)
+        n = mesh.shape[axis]
+        best, best_dim = -1, -1
+        for i, s in enumerate(shape):
+            if parts[i] is None and s % n == 0 and s > best:
+                best, best_dim = s, i
+        if best_dim >= 0:
+            parts[best_dim] = axis
+        return to_spec(parts)
+
+    if base is None:
+        return jax.tree.map(spec, tree)
+    return jax.tree.map(spec, tree, base, is_leaf=lambda x: isinstance(x, P))
 
 
-def state_shardings(tree, mesh: Mesh, axis: Optional[str] = None):
+def state_shardings(tree, mesh: Mesh, axis: Optional[str] = None, base_rules=None):
     """NamedSharding pytree for `fsdp_partition_specs` (jit in/out_shardings)."""
-    specs = fsdp_partition_specs(tree, mesh, axis)
+    specs = fsdp_partition_specs(tree, mesh, axis, base_rules=base_rules)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 

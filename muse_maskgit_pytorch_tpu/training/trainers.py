@@ -60,7 +60,7 @@ def _state_jit_kwargs(trainer):
     return dict(out_shardings=(trainer.state_shardings, replicated))
 
 
-def _maybe_shard_state(trainer, shard_state: bool):
+def _maybe_shard_state(trainer, shard_state: bool, rules=None):
     """FSDP/ZeRO: place the trainer's state pytree with each big leaf sharded
     over the mesh's fsdp (or data) axis, and return the NamedSharding tree
     (used to pin the jitted step's out_shardings so updated state stays
@@ -76,7 +76,7 @@ def _maybe_shard_state(trainer, shard_state: bool):
     mesh = trainer.mesh
     if getattr(mesh, "size", 1) <= 1:
         return None
-    shardings = state_shardings(trainer.state, mesh)
+    shardings = state_shardings(trainer.state, mesh, base_rules=rules)
     trainer.state = jax.tree.map(jax.device_put, trainer.state, shardings)
     total, per_dev = sharded_state_bytes(trainer.state)
     trainer.print(
@@ -188,6 +188,7 @@ class VQGanVAETrainer:
         apply_grad_penalty_every: int = 4,
         mesh=None,
         shard_state: bool = False,
+        shard_state_rules=None,
         seed: int = 0,
         clear_previous_results: Optional[bool] = None,
         dataset=None,
@@ -230,7 +231,7 @@ class VQGanVAETrainer:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
-        self.state_shardings = _maybe_shard_state(self, shard_state)
+        self.state_shardings = _maybe_shard_state(self, shard_state, shard_state_rules)
 
         # dataset + split (reference trainers.py:187-214)
         ds = default(dataset, lambda: ImageDataset(folder, image_size))
@@ -540,6 +541,7 @@ class MaskGitTrainer:
         ema_update_every: int = 1,
         mesh=None,
         shard_state: bool = False,
+        shard_state_rules=None,
         seed: int = 0,
         attn_impl: str = "auto",
         metrics_file=None,
@@ -584,7 +586,7 @@ class MaskGitTrainer:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
-        self.state_shardings = _maybe_shard_state(self, shard_state)
+        self.state_shardings = _maybe_shard_state(self, shard_state, shard_state_rules)
 
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)

@@ -84,13 +84,61 @@ def test_fsdp_specs_shard_largest_divisible_dim():
 def test_fsdp_specs_prefer_fsdp_axis_when_present():
     mesh = create_mesh({"data": 2, "fsdp": 4})
     specs = fsdp_partition_specs({"w": jnp.zeros((256, 256))}, mesh)
-    assert specs["w"] == P("fsdp", None)
+    assert specs["w"] == P("fsdp")
 
 
 def test_fsdp_specs_trivial_mesh_replicates():
     mesh = create_mesh({"data": 1}, devices=jax.devices()[:1])
     specs = fsdp_partition_specs({"w": jnp.zeros((256, 256))}, mesh)
     assert specs["w"] == P()
+
+
+def test_fsdp_specs_compose_with_tp_rules():
+    """2D [fsdp, tensor] layout: TP rule dims are kept; the fsdp axis takes
+    the largest REMAINING free dim."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import DEFAULT_TP_RULES
+
+    mesh = create_mesh({"data": 4, "tensor": 2})
+    tree = {
+        "layers": {"0": {"attn": {"to_q": {"kernel": jnp.zeros((256, 512))}}}},
+        "plain": jnp.zeros((256, 128)),
+    }
+    specs = fsdp_partition_specs(tree, mesh, base_rules=DEFAULT_TP_RULES)
+    # to_q/kernel: TP rule puts 'tensor' on dim 1; fsdp ('data') takes dim 0
+    assert specs["layers"]["0"]["attn"]["to_q"]["kernel"] == P("data", "tensor")
+    # unmatched leaf: pure FSDP on its largest divisible dim
+    assert specs["plain"] == P("data")
+
+
+def test_maskgit_trainer_tp_plus_fsdp_matches_replicated(tmp_path):
+    """shard_state + TP rules over a data x tensor mesh must still be a pure
+    layout change vs the plain 8-way data-parallel trainer."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import DEFAULT_TP_RULES
+
+    t_rep = _maskgit_trainer(tmp_path, False, "rep2d")
+    t_2d = MaskGitTrainer(
+        _tiny_maskgit(),
+        num_train_steps=3,
+        batch_size=8,
+        mesh=create_mesh({"data": 4, "tensor": 2}),
+        shard_state=True,
+        shard_state_rules=DEFAULT_TP_RULES,
+        results_folder=str(tmp_path / "mg-2d"),
+        use_ema=True,
+        seed=0,
+    )
+    total, per_dev = sharded_state_bytes(t_2d.state)
+    assert per_dev < total * 0.7, (total, per_dev)
+
+    images, te, tm = _batch()
+    logs_rep = t_rep.train_step_arrays(images, te, tm)
+    logs_2d = t_2d.train_step_arrays(images, te, tm)
+    np.testing.assert_allclose(logs_rep["loss"], logs_2d["loss"], rtol=2e-5, atol=2e-6)
+
+    p_rep = jax.tree.leaves(jax.tree.map(np.asarray, t_rep.state["params"]))
+    p_2d = jax.tree.leaves(jax.tree.map(np.asarray, t_2d.state["params"]))
+    for a, b in zip(p_rep, p_2d):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
 # -- MaskGit trainer ----------------------------------------------------------
