@@ -157,32 +157,31 @@ def exp_vae_dtype():
     from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
-    ids = jax.random.randint(jax.random.PRNGKey(0), (32, 64, 64), 0, 65536)
+    # NOTE: a standalone jitted dim-256 f32 decoder deterministically 500s
+    # in this tunnel's remote-compile helper (4/4 attempts, r3) while the
+    # SAME decode compiles fine inside the generate program — so the A/B
+    # runs through generate: (e2e with VAE) - (ids-only, no VAE) isolates
+    # the decode stage, and the f32-vs-bf16 image diff uses the same seed
+    # (identical token ids: the bf16 transformer is shared).
     outs = {}
     for dtype in (jnp.float32, jnp.bfloat16):
         vae = VQGanVAE(
             dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False,
             dtype=dtype, rngs=nnx.Rngs(0),
         )
-        graphdef, state = nnx.split(vae)
-
-        @jax.jit
-        def dec(state, ids):
-            return nnx.merge(graphdef, state).decode_from_ids(ids)
-
-        out = dec(state, ids)
-        outs[dtype.__name__] = jnp.asarray(out, jnp.float32)
-        _ = float(out.sum())
-        t0 = time.perf_counter()
-        for _i in range(10):
-            out = dec(state, ids)
-            _ = float(out.sum())
-        ms = (time.perf_counter() - t0) / 10 / ids.shape[0] * 1000
-        log(f"  VAE dim256 decode {dtype.__name__}: {ms:.3f} ms/img")
-
         base = build(256, 256, vae=vae, dtype=jnp.bfloat16)
+        te = jax.random.normal(jax.random.PRNGKey(0), (32, 64, 768), jnp.float32)
+        tm = jnp.ones((32, 64), bool)
+        out = base.generate(
+            text_embeds=te, text_mask=tm, rng=jax.random.PRNGKey(5),
+            timesteps=18, cond_scale=3.0,
+        )
+        outs[jnp.dtype(dtype).name] = jnp.asarray(out, jnp.float32)
         ips, dt = time_generate(base, 32)
-        log(f"  base generate w/ {dtype.__name__} VAE: {ips:.2f} img/s")
+        log(f"  base generate w/ {jnp.dtype(dtype).name} VAE: {ips:.2f} img/s ({dt*1000:.0f} ms/batch)")
+    mg0 = build(256, 256, vae=None)
+    ips0, dt0 = time_generate(mg0, 32, return_ids=True, fmap_size=16)
+    log(f"  ids-only (no VAE decode): {ips0:.2f} img/s ({dt0*1000:.0f} ms/batch)")
     diff = jnp.abs(outs["float32"] - outs["bfloat16"]).max()
     log(f"  max |f32 - bf16| pixel diff: {float(diff):.4f} (images in [0,1])")
 
