@@ -45,6 +45,11 @@ def main():
     p.add_argument("--self-token-critic", action="store_true")
     p.add_argument("--results-folder", default="./results-maskgit")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--shard-state", action="store_true",
+        help="FSDP/ZeRO: shard params + optimizer state + EMA over the mesh "
+             "(per-chip state bytes divide by the device count)",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(dim=args.vae_dim, codebook_size=args.codebook_size, rngs=nnx.Rngs(0))
@@ -76,6 +81,7 @@ def main():
         lr=args.lr,
         grad_accum_every=args.grad_accum_every,
         results_folder=args.results_folder,
+        shard_state=args.shard_state,
         auto_resume=args.resume,
     )
 

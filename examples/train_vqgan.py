@@ -25,6 +25,11 @@ def main():
     p.add_argument("--results-folder", default="./results")
     p.add_argument("--use-ema-vq", action="store_true", help="EMA vector quantizer instead of LFQ")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--shard-state", action="store_true",
+        help="FSDP/ZeRO: shard params + optimizer state + EMA over the mesh "
+             "(per-chip state bytes divide by the device count)",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(
@@ -44,6 +49,7 @@ def main():
         grad_accum_every=args.grad_accum_every,
         results_folder=args.results_folder,
         use_ema=True,
+        shard_state=args.shard_state,
         auto_resume=args.resume,
     )
     trainer.train()
