@@ -237,6 +237,69 @@ def exp_bisect():
     fused_topk_gumbel_sample.clear_cache()
 
 
+def exp_ctx_cache():
+    """A/B the r3 context-KV caching on the negative-prompt and
+    critic-guided decode paths (VERDICT item 7 evidence). 'uncached' arms
+    monkeypatch the precompute to return None so the per-step context
+    rebuild of the r2 code runs. Run: python bench_sweep.py ctx"""
+    from muse_maskgit_pytorch_tpu.models import transformer as tr_mod
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+    from muse_maskgit_pytorch_tpu.models.transformer import TokenCritic
+
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    batch = 16
+    te = jax.random.normal(jax.random.PRNGKey(0), (batch, 64, 768), jnp.float32)
+    tm = jnp.ones((batch, 64), bool)
+    nte = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 768), jnp.float32)
+
+    def timed(mg, **kw):
+        def run(key):
+            return mg.generate(
+                text_embeds=te, text_mask=tm, rng=key, timesteps=18,
+                cond_scale=3.0, **kw,
+            )
+
+        out = run(jax.random.PRNGKey(9))
+        _ = float(out.sum())
+        t0 = time.perf_counter()
+        n = 4
+        for i in range(n):
+            out = run(jax.random.PRNGKey(i))
+            _ = float(out.sum())
+        return batch / ((time.perf_counter() - t0) / n)
+
+    base = build(256, 256, vae=vae)
+    orig_neg = tr_mod.Transformer.precompute_context_kv_neg
+
+    def no_cache_neg(self, *, text_embeds, neg_text_embeds, text_mask=None,
+                     neg_text_mask=None, conditioning_token_ids=None):
+        _, pos, neg = orig_neg(
+            self, text_embeds=text_embeds, neg_text_embeds=neg_text_embeds,
+            text_mask=text_mask, neg_text_mask=neg_text_mask,
+            conditioning_token_ids=conditioning_token_ids,
+        )
+        return None, pos, neg
+
+    for label, patch in (("cached", None), ("uncached", no_cache_neg)):
+        if patch:
+            tr_mod.Transformer.precompute_context_kv_neg = patch
+        _generate_jit.clear_cache()
+        ips = timed(base, neg_text_embeds=nte)
+        log(f"  neg-prompt generate, ctx-KV {label}: {ips:7.2f} img/s")
+    tr_mod.Transformer.precompute_context_kv_neg = orig_neg
+
+    # critic-guided sampling (full TokenCritic transformer per step)
+    critic = TokenCritic(
+        num_tokens=65536, dim=512, seq_len=256, depth=8, dim_head=64, heads=8,
+        text_embed_dim=768, dtype=jnp.bfloat16, rngs=nnx.Rngs(2),
+    )
+    mg_c = build(256, 256, vae=vae)
+    mg_c.token_critic = nnx.data(critic)
+    _generate_jit.clear_cache()
+    ips = timed(mg_c)
+    log(f"  critic-guided generate (ctx-KV cached, r2 baseline 41.4): {ips:7.2f} img/s")
+
+
 def exp_batch_knee():
     """Compact-decode batch scaling incl. the r2 b64 regression re-exam.
     Run: python bench_sweep.py knee"""
@@ -297,5 +360,7 @@ if __name__ == "__main__":
         exp_vae_dtype()
     elif cmd == "bisect":
         exp_bisect()
+    elif cmd == "ctx":
+        exp_ctx_cache()
     else:
         main()
