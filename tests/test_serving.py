@@ -55,6 +55,26 @@ def test_pipeline_single_prompt_array_output():
     assert out.dtype == np.uint8
 
 
+def test_pipeline_bf16_vae_production_config():
+    """The production recommendation (BASELINE.md r3: VAE dtype=bf16, decode
+    stage -17%, max pixel delta 0.0008) must serve correctly end to end."""
+    import jax.numpy as jnp
+
+    vae = VQGanVAE(
+        dim=16, layers=2, codebook_size=32, use_vgg_and_gan=False,
+        dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )
+    tr = MaskGitTransformer(
+        num_tokens=32, dim=32, seq_len=16, depth=1, dim_head=16, heads=2,
+        t5_name=TINY_T5, dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(image_size=16, transformer=tr, vae=vae)
+    pipe = GeneratePipeline(mg, batch_size=2, timesteps=2, text_len=16, return_pil=False)
+    out = pipe(["a cat"])
+    assert out.shape == (1, 16, 16, 3)
+    assert out.dtype == np.uint8
+
+
 def test_pipeline_cascade():
     muse = Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
     pipe = GeneratePipeline(muse, batch_size=2, timesteps=2, text_len=16, return_pil=False)
