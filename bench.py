@@ -230,6 +230,42 @@ def main():
     cascade_img_s = cas_batch * n_cas / cas_elapsed
     log(f"{n_cas} cascade runs of batch {cas_batch} in {cas_elapsed:.2f}s -> {cascade_img_s:.2f} img/s/chip text->512px")
 
+    # cascade MFU: base-stage + super-res-stage model FLOPs at cas_batch.
+    # Super-res: seq 1024, cross-attn over text + 256 conditioning tokens
+    # (256px cond image -> 16x16 fmap), 512px VAE decode. Conv FLOPs scale
+    # linearly with batch and with pixel area, so the 512px decode and the
+    # 256px cond encode are scaled from the measured 256px cost-model numbers
+    # (decode x4 area; encode ~= enc of a 256px image) rather than paying
+    # another remote compile just for cost_analysis.
+    sr_head_pos = []
+    for s, e, kb in _compact_segments(cosine_schedule, 1024, timesteps):
+        sr_head_pos += [min(kb, 1024)] * (e - s)
+    base16_flops = maskgit_generate_flops(
+        batch=cas_batch, timesteps=timesteps, seq_len=256, text_len=64,
+        dim=512, depth=8, vocab=65536, cond_scale=3.0, self_cond=False,
+        head_positions_per_step=head_pos,
+        vae_decode_flops=dec_flops * cas_batch / batch,
+    )
+    try:
+        enc_flops = float(enc.lower(vae_state, img_batch).compile().cost_analysis()["flops"])
+    except Exception as e:
+        log(f"encoder cost_analysis unavailable ({e}); cascade MFU excludes cond encode")
+        enc_flops = 0.0
+    sr_flops = maskgit_generate_flops(
+        batch=cas_batch, timesteps=timesteps, seq_len=1024, text_len=64,
+        dim=512, depth=8, vocab=65536, cond_scale=3.0, self_cond=False,
+        cond_seq_len=256,
+        head_positions_per_step=sr_head_pos,
+        vae_decode_flops=(4.0 * dec_flops + enc_flops) * cas_batch / batch,
+    )
+    cas_flops = base16_flops + sr_flops
+    cas_mfu_pct = 100.0 * cas_flops / (cas_elapsed / n_cas) / V5E_BF16_PEAK_FLOPS
+    log(
+        f"cascade model FLOPs/generate: {cas_flops / 1e12:.2f} TF "
+        f"(base {base16_flops / 1e12:.2f} + superres {sr_flops / 1e12:.2f}) "
+        f"-> cascade MFU {cas_mfu_pct:.1f}%"
+    )
+
     result = {
         "metric": "images/sec/chip, 256px base MaskGit sampling (18 steps, CFG 3)",
         "value": round(images_per_sec, 3),
@@ -245,6 +281,8 @@ def main():
             "mfu_pct": round(mfu_pct, 2),
             "model_tflops_per_generate": round(gen_flops / 1e12, 3),
             "cascade_text_to_512px_img_per_sec_chip": round(cascade_img_s, 3),
+            "cascade_mfu_pct": round(cas_mfu_pct, 2),
+            "cascade_model_tflops_per_generate": round(cas_flops / 1e12, 3),
             "cascade_batch": cas_batch,
             "cascade_vs_north_star_4imgs": round(cascade_img_s / 4.0, 3),
         },
