@@ -17,7 +17,12 @@ from muse_maskgit_pytorch_tpu.models.transformer import (
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA
 from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer, MaskGitTrainer
-from muse_maskgit_pytorch_tpu.serving import GeneratePipeline
+from muse_maskgit_pytorch_tpu.serving import (
+    ExportedPipeline,
+    GeneratePipeline,
+    export_pipeline,
+    load_exported_pipeline,
+)
 
 __version__ = "0.1.0"
 
@@ -34,4 +39,7 @@ __all__ = [
     "VQGanVAETrainer",
     "MaskGitTrainer",
     "GeneratePipeline",
+    "ExportedPipeline",
+    "export_pipeline",
+    "load_exported_pipeline",
 ]

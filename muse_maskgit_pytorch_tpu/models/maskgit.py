@@ -453,14 +453,18 @@ def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
 
     One vectorized eager eval + one host fetch, lru-cached per
     (schedule, seq, T): per-step eager eval cost 18 tunnel round-trips
-    (~0.5 s) on EVERY generate() call.
+    (~0.5 s) on EVERY generate() call. `ensure_compile_time_eval` keeps the
+    plan a host-side constant even when generate() itself is being traced
+    (e.g. under `serving.export_pipeline`'s outer jit), where plain jnp ops
+    would stage into tracers.
     """
     import numpy as np
 
-    ts = jnp.linspace(0.0, 1.0, timesteps)
-    ks = np.asarray(
-        jnp.maximum(jnp.floor(noise_schedule(ts) * seq_len), 1).astype(jnp.int32)
-    )
+    with jax.ensure_compile_time_eval():
+        ts = jnp.linspace(0.0, 1.0, timesteps)
+        ks = np.asarray(
+            jnp.maximum(jnp.floor(noise_schedule(ts) * seq_len), 1).astype(jnp.int32)
+        )
     gran = max(1, seq_len // 8)
     buckets = [min(seq_len, -(-(int(k) + 1) // gran) * gran) for k in ks]
     if int(ks[0]) < seq_len:

@@ -11,14 +11,18 @@ device syncs, SURVEY.md §3.3.)
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import time
+from pathlib import Path
 from typing import List, Optional, Sequence, Union
 
 import jax
+import jax.export
 import jax.numpy as jnp
 import numpy as np
+from flax import nnx
 
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
@@ -64,6 +68,11 @@ class GeneratePipeline:
     Production tip: build the VAE with `dtype=jnp.bfloat16` — the decode
     stage runs 17% faster (+1.6% end-to-end) with a max pixel delta of
     0.0008, i.e. below one uint8 level (BASELINE.md r3 A/B).
+
+    Pass `mesh=` (e.g. `create_mesh()`) to serve data-parallel over a TPU
+    pod slice: each request batch shards over the mesh's data axis and the
+    whole program runs SPMD — `batch_size` then means the GLOBAL batch and
+    must divide by the data-axis device count.
     """
 
     def __init__(
@@ -78,6 +87,7 @@ class GeneratePipeline:
         return_pil: bool = True,
         negative_prompt: Optional[str] = None,
         compile_cache: Union[bool, str, None] = True,
+        mesh=None,
     ):
         # cold-start story: persistent XLA compile cache ON by default — a
         # restarted server deserializes the cascade executables instead of
@@ -91,6 +101,18 @@ class GeneratePipeline:
             self.compile_cache_dir = None
         self.model = model
         self.is_cascade = isinstance(model, Muse)
+        # data-parallel serving: with a mesh, every request batch is sharded
+        # over the mesh's data axis and the decode scan runs SPMD across the
+        # chips (token-identical to single-device — tests/test_serving.py;
+        # the underlying equivalence is pinned in test_parallel_generate.py)
+        self.mesh = mesh
+        if mesh is not None:
+            self._data_axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+            n = mesh.shape[self._data_axis]
+            assert batch_size % n == 0, (
+                f"batch_size {batch_size} must divide over the mesh's "
+                f"'{self._data_axis}' axis ({n} devices)"
+            )
         self.batch_size = batch_size
         self.timesteps = timesteps
         self.cond_scale = cond_scale
@@ -135,10 +157,33 @@ class GeneratePipeline:
             embeds, _ = self._encode_prompts(
                 [self.negative_prompt] * self.batch_size
             )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                embeds = jax.device_put(
+                    embeds, NamedSharding(self.mesh, P(self._data_axis, None, None))
+                )
             self._neg_embeds_cache = embeds
         return self._neg_embeds_cache
 
+    def _shard_batch(self, embeds, mask):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self._data_axis
+        embeds = jax.device_put(
+            embeds, NamedSharding(self.mesh, P(ax, None, None))
+        )
+        mask = jax.device_put(mask, NamedSharding(self.mesh, P(ax, None)))
+        return embeds, mask
+
     def _generate_batch(self, embeds, mask):
+        if self.mesh is not None:
+            embeds, mask = self._shard_batch(embeds, mask)
+            with self.mesh:
+                return self._generate_batch_inner(embeds, mask)
+        return self._generate_batch_inner(embeds, mask)
+
+    def _generate_batch_inner(self, embeds, mask):
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
@@ -211,3 +256,162 @@ class GeneratePipeline:
         if self.stats["generate_seconds"] == 0:
             return None
         return self.stats["images"] / self.stats["generate_seconds"]
+
+
+# ---------------------------------------------------------------------------
+# AOT export: a deployable generate program (jax.export / StableHLO)
+# ---------------------------------------------------------------------------
+
+
+class ExportedPipeline:
+    """A serialized, ahead-of-time-exported generate program.
+
+    `export_pipeline` traces the full fixed-shape sampling program (base
+    MaskGit or whole Muse cascade, decode scan + samplers + VAE decode +
+    on-device uint8 quantization) once and captures it as a versioned
+    StableHLO artifact via `jax.export`. The artifact is independent of this
+    package's Python model code: a serving host needs only JAX, the saved
+    artifact, and the parameter checkpoint — no tracing, no model classes,
+    no shape rediscovery. (The reference has no deployment artifact at all —
+    its generate is a live python loop over the torch module, SURVEY.md §3.3.)
+
+    Parameters travel OUTSIDE the artifact as a flat tuple of arrays (the
+    `jax.tree.leaves` order of the model's `nnx.split` state): baking 325M
+    f32 params into the program as constants would bloat the artifact ~1.3G
+    and blow compile-request caps (BASELINE.md r1 HTTP 413 post-mortem).
+
+    Call as `exported(state, text_embeds, text_mask, key)` where `state` is
+    the `nnx.split` state of an identically-constructed model (or the flat
+    leaves list); returns uint8 (batch, H, W, 3) images.
+    """
+
+    def __init__(self, exported: "jax.export.Exported", meta: dict):
+        self.exported = exported
+        self.meta = dict(meta)
+
+    def __call__(self, state, text_embeds, text_mask, key, cond_images=None):
+        if isinstance(state, (list, tuple)):
+            leaves = tuple(state)
+        else:
+            leaves = tuple(jax.tree.leaves(state))
+        n_expected = self.meta["n_state_leaves"]
+        if len(leaves) != n_expected:
+            raise ValueError(
+                f"state has {len(leaves)} array leaves, exported program "
+                f"expects {n_expected} — was the model built with the same "
+                "architecture as at export time?"
+            )
+        args = (leaves, jnp.asarray(text_embeds), jnp.asarray(text_mask), key)
+        if self.meta["needs_cond_images"]:
+            if cond_images is None:
+                raise ValueError(
+                    "this artifact was exported from a conditioned (super-res) "
+                    "MaskGit: pass cond_images=(batch, H, W, 3)"
+                )
+            args = args + (jnp.asarray(cond_images),)
+        elif cond_images is not None:
+            raise ValueError("cond_images passed but the exported program takes none")
+        return self.exported.call(*args)
+
+    def save(self, path) -> str:
+        """Write `<path>/program.jexp` + `<path>/meta.json`."""
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "program.jexp").write_bytes(self.exported.serialize())
+        (path / "meta.json").write_text(json.dumps(self.meta, indent=2))
+        return str(path)
+
+    @classmethod
+    def load(cls, path) -> "ExportedPipeline":
+        path = Path(path)
+        exported = jax.export.deserialize((path / "program.jexp").read_bytes())
+        meta = json.loads((path / "meta.json").read_text())
+        return cls(exported, meta)
+
+
+def export_pipeline(
+    model: Union[MaskGit, Muse],
+    *,
+    batch_size: int = 16,
+    text_len: int = 64,
+    timesteps: int = 18,
+    cond_scale: float = 3.0,
+    temperature: float = 1.0,
+    sampler: str = "auto",
+    platforms: Optional[Sequence[str]] = None,
+) -> ExportedPipeline:
+    """AOT-export the fixed-shape generate program (see `ExportedPipeline`).
+
+    `platforms` lowers for specific targets (e.g. `("tpu",)` to produce a TPU
+    artifact from a CPU build host); default = the current backend. With the
+    default `sampler="auto"` the traced sampler follows the EXPORTING host's
+    backend — pass `sampler="fused"` explicitly when cross-lowering to TPU so
+    the artifact carries the Pallas sampling kernel.
+    """
+    is_cascade = isinstance(model, Muse)
+    graphdef, state = nnx.split(model)
+    treedef = jax.tree.structure(state)
+    leaves = jax.tree.leaves(state)
+    tr = (model.base_maskgit if is_cascade else model).transformer
+    gen_kwargs = dict(
+        timesteps=timesteps, cond_scale=cond_scale, temperature=temperature,
+        sampler=sampler,
+    )
+
+    standalone_cond = (not is_cascade) and model.resize_image_for_cond_image
+
+    def run(leaves_in, text_embeds, text_mask, key, *rest):
+        m = nnx.merge(graphdef, jax.tree.unflatten(treedef, list(leaves_in)))
+        if is_cascade:
+            k1, k2 = jax.random.split(key)
+            low = m.base_maskgit.generate(
+                text_embeds=text_embeds, text_mask=text_mask, rng=k1, **gen_kwargs
+            )
+            low = jnp.clip(low, 0.0, 1.0)
+            images = m.superres_maskgit.generate(
+                text_embeds=text_embeds, text_mask=text_mask, rng=k2,
+                cond_images=low, **gen_kwargs,
+            )
+        else:
+            images = m.generate(
+                text_embeds=text_embeds, text_mask=text_mask, rng=key,
+                cond_images=rest[0] if standalone_cond else None, **gen_kwargs,
+            )
+        return (jnp.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    ctx_dim = tr.text_embed_dim
+    arg_avals = [
+        tuple(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves),
+        jax.ShapeDtypeStruct((batch_size, text_len, ctx_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, text_len), jnp.bool_),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),  # raw PRNGKey
+    ]
+    if standalone_cond:
+        s = model.cond_image_size
+        arg_avals.append(jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.float32))
+
+    exported = jax.export.export(
+        jax.jit(run), platforms=list(platforms) if platforms else None
+    )(*arg_avals)
+    meta = {
+        "kind": "muse" if is_cascade else "maskgit",
+        "batch_size": batch_size,
+        "text_len": text_len,
+        "text_embed_dim": int(ctx_dim),
+        "timesteps": timesteps,
+        "cond_scale": cond_scale,
+        "temperature": temperature,
+        "sampler": sampler,
+        "n_state_leaves": len(leaves),
+        "needs_cond_images": bool(standalone_cond),
+        "platforms": list(exported.platforms),
+        "image_size": int(
+            (model.superres_maskgit if is_cascade else model).image_size
+        ),
+    }
+    return ExportedPipeline(exported, meta)
+
+
+def load_exported_pipeline(path) -> ExportedPipeline:
+    """Load an artifact written by `ExportedPipeline.save`."""
+    return ExportedPipeline.load(path)

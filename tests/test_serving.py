@@ -99,3 +99,132 @@ def test_pipeline_negative_prompt():
     )
     out = pipe(["a", "b"])
     assert out.shape == (2, 16, 16, 3)
+
+
+def test_pipeline_data_parallel_mesh_matches_single():
+    """`mesh=` serves SPMD over the data axis, token-identical to meshless."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()  # 8 virtual CPU devices (conftest)
+    single = GeneratePipeline(
+        _maskgit(), batch_size=8, timesteps=2, text_len=16, return_pil=False, seed=3
+    )
+    sharded = GeneratePipeline(
+        _maskgit(), batch_size=8, timesteps=2, text_len=16, return_pil=False,
+        seed=3, mesh=mesh,
+    )
+    prompts = [f"prompt {i}" for i in range(8)]
+    a = single(prompts)
+    b = sharded(prompts)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_mesh_batch_divisibility():
+    from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    try:
+        GeneratePipeline(_maskgit(), batch_size=3, text_len=16, mesh=mesh)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised, "indivisible batch over the data axis must fail loudly"
+
+
+# -- AOT export (jax.export StableHLO artifact) -------------------------------
+
+
+def _embeds(batch=2, text_len=16, dim=32, seed=7):
+    import jax
+
+    e = jax.random.normal(jax.random.PRNGKey(seed), (batch, text_len, dim))
+    return e, jnp.ones((batch, text_len), bool)
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import pytest  # noqa: E402
+
+from muse_maskgit_pytorch_tpu.serving import (  # noqa: E402
+    export_pipeline,
+    load_exported_pipeline,
+)
+
+
+def test_export_roundtrip_matches_direct(tmp_path):
+    mg = _maskgit()
+    ep = export_pipeline(mg, batch_size=2, text_len=16, timesteps=2, cond_scale=3.0)
+    embeds, mask = _embeds()
+    key = jax.random.PRNGKey(5)
+
+    _, state = nnx.split(mg)
+    out = ep(state, embeds, mask, key)
+    assert out.shape == (2, 16, 16, 3) and out.dtype == jnp.uint8
+
+    # bit-exact vs the live module path (same program, same key)
+    direct = mg.generate(
+        text_embeds=embeds, text_mask=mask, rng=key, timesteps=2, cond_scale=3.0
+    )
+    direct_u8 = (jnp.clip(direct, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    assert (np.asarray(out) == np.asarray(direct_u8)).all()
+
+    # serialize -> disk -> deserialize: still bit-exact, flat leaves accepted
+    path = ep.save(tmp_path / "artifact")
+    loaded = load_exported_pipeline(path)
+    assert loaded.meta["kind"] == "maskgit"
+    out2 = loaded(list(jax.tree.leaves(state)), embeds, mask, key)
+    assert (np.asarray(out2) == np.asarray(out)).all()
+
+
+def test_export_cascade_matches_direct(tmp_path):
+    muse = Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
+    ep = export_pipeline(muse, batch_size=2, text_len=16, timesteps=2)
+    embeds, mask = _embeds()
+    key = jax.random.PRNGKey(9)
+
+    _, state = nnx.split(muse)
+    out = ep(state, embeds, mask, key)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
+
+    # replicate the exported program's key split on the live modules
+    k1, k2 = jax.random.split(key)
+    low = muse.base_maskgit.generate(
+        text_embeds=embeds, text_mask=mask, rng=k1, timesteps=2, cond_scale=3.0
+    )
+    hi = muse.superres_maskgit.generate(
+        text_embeds=embeds, text_mask=mask, rng=k2, timesteps=2, cond_scale=3.0,
+        cond_images=jnp.clip(low, 0.0, 1.0),
+    )
+    hi_u8 = (jnp.clip(hi, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    assert (np.asarray(out) == np.asarray(hi_u8)).all()
+
+    loaded = load_exported_pipeline(ep.save(tmp_path / "cascade"))
+    assert loaded.meta["kind"] == "muse"
+    out2 = loaded(state, embeds, mask, key)
+    assert (np.asarray(out2) == np.asarray(out)).all()
+
+
+def test_export_standalone_superres_needs_cond_images():
+    sr = _maskgit(32, cond=16, seed=3)
+    ep = export_pipeline(sr, batch_size=2, text_len=16, timesteps=2)
+    assert ep.meta["needs_cond_images"]
+    embeds, mask = _embeds()
+    key = jax.random.PRNGKey(0)
+    _, state = nnx.split(sr)
+    with pytest.raises(ValueError, match="cond_images"):
+        ep(state, embeds, mask, key)
+    cond = jnp.zeros((2, 16, 16, 3))
+    out = ep(state, embeds, mask, key, cond_images=cond)
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_export_rejects_wrong_state():
+    mg = _maskgit()
+    ep = export_pipeline(mg, batch_size=2, text_len=16, timesteps=2)
+    embeds, mask = _embeds()
+    _, state = nnx.split(mg)
+    leaves = jax.tree.leaves(state)
+    with pytest.raises(ValueError, match="leaves"):
+        ep(leaves[:-1], embeds, mask, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="takes none"):
+        ep(state, embeds, mask, jax.random.PRNGKey(0), cond_images=jnp.zeros((2, 16, 16, 3)))
