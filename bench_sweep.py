@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(seq_len, image_size, cond_image_size=None, vae=None, cond_vae=None, dtype=jnp.bfloat16):
+def build(seq_len, image_size, cond_image_size=None, vae=None, cond_vae=None, dtype=jnp.bfloat16, **tkw):
     transformer = MaskGitTransformer(
         num_tokens=65536,
         dim=512,
@@ -35,6 +35,7 @@ def build(seq_len, image_size, cond_image_size=None, vae=None, cond_vae=None, dt
         text_embed_dim=768,
         dtype=dtype,
         rngs=nnx.Rngs(0),
+        **tkw,
     )
     return MaskGit(
         image_size=image_size,
@@ -310,6 +311,73 @@ def exp_batch_knee():
         log(f"  batch {batch:3d}: {ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)")
 
 
+def exp_train_mfu():
+    """MaskGit train-step throughput + model-FLOPs MFU at reference scale
+    (ids path, the r2 535 img/s configuration). Amortizes 20 donated steps
+    per timing (dispatches pipeline; only the final loss fetch syncs).
+    Run: python bench_sweep.py trainmfu"""
+    from muse_maskgit_pytorch_tpu.training.trainers import MaskGitTrainer
+    from muse_maskgit_pytorch_tpu.utils.metrics import (
+        V5E_BF16_PEAK_FLOPS,
+        maskgit_train_flops,
+    )
+
+    batch, seq, text_len = 64, 256, 64
+    mg = build(seq, 256, self_cond=True)  # dim 512 / depth 8 / vocab 65536, no VAE (ids path)
+    trainer = MaskGitTrainer(
+        mg, num_train_steps=1, batch_size=batch, grad_accum_every=1,
+        results_folder="/tmp/trainmfu", use_ema=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (1, batch, seq), 0, 65536, jnp.int32)
+    te = jax.random.normal(key, (1, batch, text_len, 768), jnp.float32)
+    tm = jnp.ones((1, batch, text_len), bool)
+
+    state = trainer.state
+    state, logs = trainer._train_step(state, ids, te, tm)  # compile
+    float(logs["loss"])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, logs = trainer._train_step(state, ids, te, tm)
+    float(logs["loss"])  # single sync at the end: honest device-time amortization
+    dt = (time.perf_counter() - t0) / n
+
+    flops = maskgit_train_flops(
+        batch=batch, seq_len=seq, text_len=text_len, dim=512, depth=8,
+        vocab=65536, self_cond=True, self_cond_prob=0.9,
+    )
+    mfu = flops / dt / V5E_BF16_PEAK_FLOPS * 100
+    log(
+        f"  ids-path train step b{batch}: {dt*1e3:.1f} ms/step, "
+        f"{batch/dt:.0f} img/s, {flops/1e12:.2f} TF/step (expected-value "
+        f"incl. 0.9-prob self-cond fwd), train MFU {mfu:.1f}%"
+    )
+    # self-cond off: removes the lax.cond no-grad forward -> pure fwd+bwd MFU
+    mg2 = build(seq, 256)  # self_cond=False
+    trainer2 = MaskGitTrainer(
+        mg2, num_train_steps=1, batch_size=batch, grad_accum_every=1,
+        results_folder="/tmp/trainmfu2", use_ema=True,
+    )
+    state2 = trainer2.state
+    state2, logs = trainer2._train_step(state2, ids, te, tm)
+    float(logs["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state2, logs = trainer2._train_step(state2, ids, te, tm)
+    float(logs["loss"])
+    dt2 = (time.perf_counter() - t0) / n
+    flops2 = maskgit_train_flops(
+        batch=batch, seq_len=seq, text_len=text_len, dim=512, depth=8,
+        vocab=65536, self_cond=False,
+    )
+    mfu2 = flops2 / dt2 / V5E_BF16_PEAK_FLOPS * 100
+    log(
+        f"  same w/o self-cond: {dt2*1e3:.1f} ms/step, {batch/dt2:.0f} img/s, "
+        f"{flops2/1e12:.2f} TF/step, train MFU {mfu2:.1f}%"
+    )
+
+
 def main():
     vae = VQGanVAE(dim=128, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
 
@@ -362,5 +430,7 @@ if __name__ == "__main__":
         exp_bisect()
     elif cmd == "ctx":
         exp_ctx_cache()
+    elif cmd == "trainmfu":
+        exp_train_mfu()
     else:
         main()

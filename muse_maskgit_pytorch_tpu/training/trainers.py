@@ -121,6 +121,7 @@ from muse_maskgit_pytorch_tpu.utils.checkpoint import (
     latest_step,
     load_train_state,
     save_train_state,
+    wait_for_saves,
 )
 from muse_maskgit_pytorch_tpu.utils.metrics import MetricsLogger, StepTimer
 from muse_maskgit_pytorch_tpu.utils.helpers import default, exists
@@ -194,10 +195,12 @@ class VQGanVAETrainer:
         dataset=None,
         metrics_file=None,
         auto_resume: bool = False,
+        async_checkpoints: bool = False,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.image_size = image_size
+        self.async_checkpoints = async_checkpoints
         self.grad_accum_every = grad_accum_every
         self.apply_grad_penalty_every = apply_grad_penalty_every
         self.save_results_every = save_results_every
@@ -298,9 +301,15 @@ class VQGanVAETrainer:
         if self.state_shardings is None and not is_main_process():
             return
         ckpt_dir = default(path, self.results_folder / "checkpoints")
-        save_train_state(ckpt_dir, self.steps, {k: v for k, v in self.state.items()})
+        save_train_state(
+            ckpt_dir,
+            self.steps,
+            {k: v for k, v in self.state.items()},
+            async_save=self.async_checkpoints,
+        )
 
     def load(self, path=None, step: Optional[int] = None):
+        wait_for_saves()  # an in-flight async save may be the latest step
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         restored, s = load_train_state(
             ckpt_dir, step, target=self.state, shardings=self.state_shardings
@@ -500,6 +509,7 @@ class VQGanVAETrainer:
         while self.steps < self.num_train_steps:
             logs = self.train_step()
             log_fn(logs)
+        wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")
 
 
@@ -546,10 +556,12 @@ class MaskGitTrainer:
         attn_impl: str = "auto",
         metrics_file=None,
         auto_resume: bool = False,
+        async_checkpoints: bool = False,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
+        self.async_checkpoints = async_checkpoints
         self.save_model_every = save_model_every
         self.use_ema = use_ema
         self.ema_kwargs = dict(
@@ -623,9 +635,12 @@ class MaskGitTrainer:
         if self.state_shardings is None and not is_main_process():
             return
         ckpt_dir = default(path, self.results_folder / "checkpoints")
-        save_train_state(ckpt_dir, self.steps, self.state)
+        save_train_state(
+            ckpt_dir, self.steps, self.state, async_save=self.async_checkpoints
+        )
 
     def load(self, path=None, step=None):
+        wait_for_saves()  # an in-flight async save may be the latest step
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         restored, s = load_train_state(
             ckpt_dir, step, target=self.state, shardings=self.state_shardings
@@ -744,4 +759,5 @@ class MaskGitTrainer:
             if (self.steps - 1) % self.save_model_every == 0:
                 self.save()
             log_fn(logs)
+        wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")

@@ -84,7 +84,31 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(ckpt_dir, step: int, tree) -> None:
+# Orbax async saves block only for the device->host copy, then write to disk
+# on a background thread — the train loop resumes while a multi-GB (possibly
+# sharded) state serializes. One process-wide AsyncCheckpointer so saves
+# serialize against each other and `wait_for_saves` has one place to drain.
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint writes are durable. Call
+    before reading a just-written checkpoint in-process and at train end
+    (the trainers do both automatically)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_train_state(ckpt_dir, step: int, tree, async_save: bool = False) -> None:
     """tree: any pytree (params/opt states/ema/step/rng).
 
     jax.Arrays pass straight to Orbax, which serializes them sharding-aware:
@@ -92,11 +116,19 @@ def save_train_state(ckpt_dir, step: int, tree) -> None:
     gathering 5.8G through one host's RAM — and a multi-host sharded array
     (where `np.asarray` would simply fail) saves correctly with every process
     calling this function. (Replaces the reference's rank-0 `torch.save` of a
-    replicated state dict, trainers.py:391-403.)"""
+    replicated state dict, trainers.py:391-403.)
+
+    async_save=True returns as soon as the state is copied off-device and
+    writes on a background thread; donating the same state into the next
+    train step is safe immediately (the copy happened), but use
+    `wait_for_saves()` before restoring the file or exiting the process."""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step:08d}"
-    _checkpointer().save(path, tree, force=True)
+    if async_save:
+        _async_checkpointer().save(path, tree, force=True)
+    else:
+        _checkpointer().save(path, tree, force=True)
 
 
 def latest_step(ckpt_dir) -> Optional[int]:

@@ -157,6 +157,53 @@ def maskgit_generate_flops(
     return float(timesteps * step_fwd + head + ctx_kv + vae_decode_flops)
 
 
+def maskgit_train_flops(
+    *,
+    batch: int,
+    seq_len: int,
+    text_len: int,
+    dim: int,
+    depth: int,
+    vocab: int,
+    ff_mult: float = 4.0,
+    self_cond: bool = True,
+    self_cond_prob: float = 0.9,
+    cond_seq_len: int = 0,
+    critic: bool = False,
+    vae_encode_flops: float = 0.0,
+) -> float:
+    """Analytic model FLOPs of ONE MaskGit train micro-batch (fwd + bwd),
+    counting what `MaskGit.__call__` → `MaskGitTrainer._train_step` compute:
+    the main forward (backbone + per-forward cross-attn K/V context
+    projections + the FULL vocab head — training has no compact gather) at
+    3x (1 forward + ~2x backward, the standard matmul accounting), plus the
+    expected cost of the no-grad self-conditioning forward (probability
+    `self_cond_prob` under `lax.cond`, embed-only: no head), plus optionally
+    a TokenCritic forward+backward (dim_out=1 head) and frozen-VAE encode
+    FLOPs for the images path. Divide by `elapsed · V5E_BF16_PEAK_FLOPS`
+    for train-step MFU. Reference loop being modeled:
+    /root/reference/muse_maskgit_pytorch/muse_maskgit_pytorch.py:623-741."""
+    m_cross = text_len + cond_seq_len + 1  # + null KV position
+    fwd = transformer_forward_flops(
+        batch, seq_len, m_cross, dim=dim, depth=depth,
+        ff_mult=ff_mult, self_cond=self_cond,
+    )
+    # cross-attn K/V projections of the context, D -> 2D per layer: training
+    # recomputes them every forward (no decode-style ctx-KV cache)
+    ctx_kv = batch * depth * (text_len + cond_seq_len) * 2 * dim * (2 * dim)
+    head = batch * seq_len * 2 * dim * vocab
+    total = 3.0 * (fwd + ctx_kv + head)
+    if self_cond:
+        total += self_cond_prob * (fwd + ctx_kv)
+    if critic:
+        critic_fwd = transformer_forward_flops(
+            batch, seq_len, m_cross, dim=dim, depth=depth,
+            ff_mult=ff_mult, self_cond=False,
+        )
+        total += 3.0 * (critic_fwd + ctx_kv + batch * seq_len * 2 * dim * 1)
+    return float(total + vae_encode_flops)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir, enabled: bool = True):
     """`with profile_trace('/tmp/trace'): trainer.train_step()` — writes a

@@ -42,7 +42,7 @@ def _tiny_maskgit(seed=0):
     return MaskGit(image_size=16, transformer=tr, vae=vae)
 
 
-def _maskgit_trainer(tmp_path, shard_state, tag):
+def _maskgit_trainer(tmp_path, shard_state, tag, **kw):
     return MaskGitTrainer(
         _tiny_maskgit(),
         num_train_steps=3,
@@ -52,6 +52,7 @@ def _maskgit_trainer(tmp_path, shard_state, tag):
         results_folder=str(tmp_path / f"mg-{tag}"),
         use_ema=True,
         seed=0,
+        **kw,
     )
 
 
@@ -197,6 +198,31 @@ def test_maskgit_sharded_checkpoint_roundtrip(tmp_path):
     # and the restored trainer can keep stepping
     logs = t2.train_step_arrays(images, te, tm)
     assert np.isfinite(logs["loss"])
+
+
+def test_maskgit_async_checkpoint_roundtrip(tmp_path):
+    """async_checkpoints=True: save returns immediately (device->host copy
+    only), the write completes on a background thread, and load() drains
+    in-flight saves before restoring — values equal the saved state even
+    when the trainer keeps stepping (donating!) right after save()."""
+    t = _maskgit_trainer(tmp_path, True, "actk", async_checkpoints=True)
+    images, te, tm = _batch()
+    t.train_step_arrays(images, te, tm)
+
+    before = jax.tree.map(np.asarray, t.state["params"])
+    t.save()
+    # keep training immediately: the donated buffers must already be copied
+    t.train_step_arrays(images, te, tm)
+
+    t2 = _maskgit_trainer(tmp_path, True, "actk")  # same dir
+    t2.load()  # wait_for_saves() inside
+    assert t2.steps == 1
+    after = jax.tree.map(np.asarray, t2.state["params"])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+
+    # restored arrays landed on their mesh shards
+    total, per_dev = sharded_state_bytes(t2.state)
+    assert per_dev < total * 0.7, (total, per_dev)
 
 
 # -- GAN trainer --------------------------------------------------------------

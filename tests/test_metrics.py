@@ -74,6 +74,65 @@ def test_maskgit_generate_flops_structure():
     )
 
 
+def test_maskgit_train_flops_matches_xla_cost_model():
+    """fwd+bwd analytic count vs XLA's flops estimate for the exact loss
+    the trainer differentiates (self_cond off so no lax.cond ambiguity in
+    the cost model; XLA additionally counts softmax/LN/CE elementwise work,
+    so analytic <= XLA and within ~30% at matmul-dominated sizes)."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.utils.metrics import maskgit_train_flops
+
+    dim, depth, seq, text_len, vocab, batch = 128, 2, 64, 16, 512, 4
+    tr = MaskGitTransformer(
+        num_tokens=vocab, dim=dim, seq_len=seq, depth=depth, dim_head=32,
+        heads=4, text_embed_dim=dim, self_cond=False, rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(image_size=64, transformer=tr, vae=None)
+    graphdef, state = nnx.split(mg)
+
+    def loss(state, ids, te, tm, key):
+        model = nnx.merge(graphdef, state)
+        return model(ids, rng=key, text_embeds=te, text_mask=tm)
+
+    ids = jnp.zeros((batch, seq), jnp.int32)
+    te = jnp.ones((batch, text_len, dim))
+    tm = jnp.ones((batch, text_len), bool)
+    key = jax.random.PRNGKey(0)
+    compiled = (
+        jax.jit(jax.value_and_grad(loss)).lower(state, ids, te, tm, key).compile()
+    )
+    xla_flops = float(compiled.cost_analysis()["flops"])
+
+    analytic = maskgit_train_flops(
+        batch=batch, seq_len=seq, text_len=text_len, dim=dim, depth=depth,
+        vocab=vocab, self_cond=False,
+    )
+    assert analytic <= xla_flops * 1.02, (analytic, xla_flops)
+    assert analytic >= xla_flops * 0.70, (analytic, xla_flops)
+
+
+def test_maskgit_train_flops_structure():
+    from muse_maskgit_pytorch_tpu.utils.metrics import maskgit_train_flops
+
+    kw = dict(batch=8, seq_len=64, text_len=16, dim=64, depth=2, vocab=512)
+    base = maskgit_train_flops(**kw, self_cond=False)
+    # self-cond grows the main forward (its FF) AND adds the expected-value
+    # no-grad forward, monotonically in the probability; the extra no-grad
+    # forward is < 1/3 of the fwd+bwd cost
+    sc0 = maskgit_train_flops(**kw, self_cond=True, self_cond_prob=0.0)
+    sc5 = maskgit_train_flops(**kw, self_cond=True, self_cond_prob=0.5)
+    sc9 = maskgit_train_flops(**kw, self_cond=True, self_cond_prob=0.9)
+    assert base < sc0 < sc5 < sc9 < sc0 * 4 / 3
+    # critic roughly doubles the backbone cost (second transformer fwd+bwd)
+    with_critic = maskgit_train_flops(**kw, self_cond=False, critic=True)
+    assert with_critic > base * 1.3
+    # VAE encode flops pass straight through
+    assert (
+        maskgit_train_flops(**kw, self_cond=False, vae_encode_flops=1e9)
+        == base + 1e9
+    )
+
+
 def test_metrics_logger_jsonl(tmp_path):
     import json
 
