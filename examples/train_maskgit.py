@@ -50,6 +50,11 @@ def main():
         help="FSDP/ZeRO: shard params + optimizer state + EMA over the mesh "
              "(per-chip state bytes divide by the device count)",
     )
+    p.add_argument(
+        "--async-checkpoints", action="store_true",
+        help="checkpoint saves block only for the device->host copy and "
+             "write to disk on a background thread",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(dim=args.vae_dim, codebook_size=args.codebook_size, rngs=nnx.Rngs(0))
@@ -83,6 +88,7 @@ def main():
         results_folder=args.results_folder,
         shard_state=args.shard_state,
         auto_resume=args.resume,
+        async_checkpoints=args.async_checkpoints,
     )
 
     ds = CaptionedImageDataset(args.folder, args.image_size)

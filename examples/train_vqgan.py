@@ -30,6 +30,11 @@ def main():
         help="FSDP/ZeRO: shard params + optimizer state + EMA over the mesh "
              "(per-chip state bytes divide by the device count)",
     )
+    p.add_argument(
+        "--async-checkpoints", action="store_true",
+        help="checkpoint saves block only for the device->host copy and "
+             "write to disk on a background thread",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(
@@ -51,6 +56,7 @@ def main():
         use_ema=True,
         shard_state=args.shard_state,
         auto_resume=args.resume,
+        async_checkpoints=args.async_checkpoints,
     )
     trainer.train()
 
