@@ -55,6 +55,10 @@ def main():
         help="checkpoint saves block only for the device->host copy and "
              "write to disk on a background thread",
     )
+    p.add_argument(
+        "--max-checkpoints", type=int, default=None,
+        help="retain only the newest N train-state checkpoints",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(dim=args.vae_dim, codebook_size=args.codebook_size, rngs=nnx.Rngs(0))
@@ -89,6 +93,7 @@ def main():
         shard_state=args.shard_state,
         auto_resume=args.resume,
         async_checkpoints=args.async_checkpoints,
+        max_checkpoints=args.max_checkpoints,
     )
 
     ds = CaptionedImageDataset(args.folder, args.image_size)

@@ -196,11 +196,13 @@ class VQGanVAETrainer:
         metrics_file=None,
         auto_resume: bool = False,
         async_checkpoints: bool = False,
+        max_checkpoints: Optional[int] = None,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.image_size = image_size
         self.async_checkpoints = async_checkpoints
+        self.max_checkpoints = max_checkpoints
         self.grad_accum_every = grad_accum_every
         self.apply_grad_penalty_every = apply_grad_penalty_every
         self.save_results_every = save_results_every
@@ -306,6 +308,7 @@ class VQGanVAETrainer:
             self.steps,
             {k: v for k, v in self.state.items()},
             async_save=self.async_checkpoints,
+            keep=self.max_checkpoints,
         )
 
     def load(self, path=None, step: Optional[int] = None):
@@ -557,11 +560,13 @@ class MaskGitTrainer:
         metrics_file=None,
         auto_resume: bool = False,
         async_checkpoints: bool = False,
+        max_checkpoints: Optional[int] = None,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
         self.async_checkpoints = async_checkpoints
+        self.max_checkpoints = max_checkpoints
         self.save_model_every = save_model_every
         self.use_ema = use_ema
         self.ema_kwargs = dict(
@@ -636,7 +641,11 @@ class MaskGitTrainer:
             return
         ckpt_dir = default(path, self.results_folder / "checkpoints")
         save_train_state(
-            ckpt_dir, self.steps, self.state, async_save=self.async_checkpoints
+            ckpt_dir,
+            self.steps,
+            self.state,
+            async_save=self.async_checkpoints,
+            keep=self.max_checkpoints,
         )
 
     def load(self, path=None, step=None):

@@ -14,6 +14,8 @@ Two tiers, mirroring the reference's two mechanisms (SURVEY.md §5):
 
 from __future__ import annotations
 
+import re
+import shutil
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -108,7 +110,30 @@ def wait_for_saves() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def save_train_state(ckpt_dir, step: int, tree, async_save: bool = False) -> None:
+# Finalized checkpoints only: Orbax writes to `step_XXXXXXXX.orbax-checkpoint-
+# tmp-<ts>` and renames on commit, so an exact `step_<digits>` name IS durable.
+# A process killed mid-save leaves a tmp dir behind — it must neither crash
+# step listing (auto_resume) nor be resumed from.
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+def finalized_steps(ckpt_dir) -> list:
+    """Sorted list of committed checkpoint steps in `ckpt_dir` (in-flight /
+    abandoned Orbax tmp dirs are ignored)."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return []
+    steps = []
+    for p in ckpt_dir.iterdir():
+        m = _STEP_RE.match(p.name)
+        if m is not None:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def save_train_state(
+    ckpt_dir, step: int, tree, async_save: bool = False, keep: Optional[int] = None
+) -> None:
     """tree: any pytree (params/opt states/ema/step/rng).
 
     jax.Arrays pass straight to Orbax, which serializes them sharding-aware:
@@ -121,7 +146,14 @@ def save_train_state(ckpt_dir, step: int, tree, async_save: bool = False) -> Non
     async_save=True returns as soon as the state is copied off-device and
     writes on a background thread; donating the same state into the next
     train step is safe immediately (the copy happened), but use
-    `wait_for_saves()` before restoring the file or exiting the process."""
+    `wait_for_saves()` before restoring the file or exiting the process.
+
+    keep=N retains only the newest N checkpoints (counting this one): older
+    finalized step dirs are pruned after the save is initiated. With
+    async_save the single process-wide AsyncCheckpointer has already drained
+    any prior in-flight write by the time `save` returns, so every dir the
+    prune sees is durable; the in-flight current step still lives under its
+    tmp name and is never touched."""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step:08d}"
@@ -129,18 +161,17 @@ def save_train_state(ckpt_dir, step: int, tree, async_save: bool = False) -> Non
         _async_checkpointer().save(path, tree, force=True)
     else:
         _checkpointer().save(path, tree, force=True)
+    if keep is not None:
+        assert keep >= 1, f"keep must be >= 1, got {keep}"
+        retained = set(sorted(set(finalized_steps(ckpt_dir)) | {step})[-keep:])
+        for s in finalized_steps(ckpt_dir):
+            if s not in retained:
+                shutil.rmtree(ckpt_dir / f"step_{s:08d}", ignore_errors=True)
 
 
 def latest_step(ckpt_dir) -> Optional[int]:
-    ckpt_dir = Path(ckpt_dir)
-    if not ckpt_dir.exists():
-        return None
-    steps = [
-        int(p.name.split("_")[1])
-        for p in ckpt_dir.iterdir()
-        if p.name.startswith("step_")
-    ]
-    return max(steps) if steps else None
+    steps = finalized_steps(ckpt_dir)
+    return steps[-1] if steps else None
 
 
 def load_train_state(ckpt_dir, step: Optional[int] = None, target=None, shardings=None):

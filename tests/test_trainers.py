@@ -190,3 +190,60 @@ def test_maskgit_trainer_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(t2.state["params"])[0]), w_saved
     )
+
+
+def test_checkpoint_retention_and_tmp_dir_robustness(tmp_path):
+    """`keep=N` prunes all but the newest N finalized checkpoints, and step
+    listing ignores Orbax tmp dirs (a process killed mid-save must not break
+    `auto_resume` with a ValueError, nor be resumed from)."""
+    from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+        finalized_steps,
+        latest_step,
+        load_train_state,
+        save_train_state,
+    )
+
+    ckpt = tmp_path / "ckpts"
+    tree = {"w": jnp.arange(4.0), "step": jnp.zeros((), jnp.int32)}
+    for s in (1, 2, 3):
+        save_train_state(ckpt, s, tree, keep=2)
+    assert finalized_steps(ckpt) == [2, 3]
+    assert latest_step(ckpt) == 3
+
+    # a leftover in-flight tmp dir neither crashes listing nor wins latest
+    (ckpt / "step_00000099.orbax-checkpoint-tmp-1234567").mkdir()
+    assert finalized_steps(ckpt) == [2, 3]
+    assert latest_step(ckpt) == 3
+    restored, s = load_train_state(ckpt, target=tree)
+    assert s == 3
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0))
+
+    # keep=1 on the next save prunes everything but the new step
+    save_train_state(ckpt, 4, tree, keep=1)
+    assert finalized_steps(ckpt) == [4]
+
+
+def test_maskgit_trainer_max_checkpoints(tmp_path):
+    folder = str(tmp_path / "mg-keep")
+    t = MaskGitTrainer(
+        _tiny_maskgit(),
+        num_train_steps=4,
+        batch_size=2,
+        results_folder=folder,
+        save_model_every=10**9,
+        use_ema=False,
+        max_checkpoints=2,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(1, 2, 16, 16, 3)).astype(np.float32)
+    te = rng.normal(size=(1, 2, 6, 32)).astype(np.float32)
+    tm = np.ones((1, 2, 6), bool)
+    for _ in range(3):
+        t.train_step_arrays(images, te, tm)
+        t.save()
+
+    from muse_maskgit_pytorch_tpu.utils.checkpoint import finalized_steps
+
+    assert finalized_steps(t.results_folder / "checkpoints") == [2, 3]
+    t.load()  # latest retained checkpoint restores fine
+    assert t.steps == 3
