@@ -378,6 +378,69 @@ def exp_train_mfu():
     )
 
 
+def exp_gan_step():
+    """Reference-scale VQ-GAN GAN train step, f32 vs bf16-compute encdec.
+    bf16 here IS the reference's mixed-precision semantics (autocast wraps
+    only the generator step, trainers.py:315): the enc/dec computes in bf16
+    with f32 master weights while the discriminator/VGG/losses stay f32.
+    Both arms in one process (tunnel A/B rule), 10 donated steps amortized.
+    Run: python bench_sweep.py ganstep"""
+    import gc
+
+    import numpy as np
+
+    from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer
+
+    class _DS:
+        def __init__(self, n, size):
+            rng = np.random.default_rng(0)
+            self.d = rng.uniform(size=(n, size, size, 3)).astype(np.float32)
+
+        def __len__(self):
+            return len(self.d)
+
+        def __getitem__(self, i):
+            return self.d[i]
+
+    imgs_np = np.random.default_rng(1).uniform(size=(8, 256, 256, 3)).astype(np.float32)
+
+    def arm(dtype, micro, n=10):
+        vae = VQGanVAE(
+            dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=True,
+            dtype=dtype, rngs=nnx.Rngs(0),
+        )
+        tr = VQGanVAETrainer(
+            vae, folder=None, dataset=_DS(8, 256), num_train_steps=1,
+            batch_size=micro, image_size=256, grad_accum_every=1,
+            save_results_every=10**9, save_model_every=10**9,
+            results_folder="/tmp/ganstep", valid_frac=0.25, use_ema=True,
+        )
+        imgs = jnp.asarray(imgs_np[:micro][None])  # (accum=1, B, H, W, C)
+        state = tr.state
+        try:
+            state, logs = tr._train_step(state, imgs, imgs)  # compile + warm
+            float(logs["loss"])
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, logs = tr._train_step(state, imgs, imgs)
+            float(logs["loss"])  # single fetch: honest device-time amortization
+            dt = (time.perf_counter() - t0) / n
+            log(
+                f"  {jnp.dtype(dtype).name} micro-batch {micro}: {dt*1e3:.1f} ms/step "
+                f"({micro/dt:.1f} img/s), loss={float(logs['loss']):.4f} "
+                f"discr={float(logs['discr_loss']):.4f}"
+            )
+        except Exception as e:  # e.g. RESOURCE_EXHAUSTED at larger micro-batches
+            log(f"  {jnp.dtype(dtype).name} micro-batch {micro}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        finally:
+            del state, tr, vae
+            gc.collect()
+
+    arm(jnp.float32, 4)
+    arm(jnp.bfloat16, 4)
+    arm(jnp.bfloat16, 8)  # f32 OOMs here on one v5e (r2, BASELINE.md)
+
+
 def main():
     vae = VQGanVAE(dim=128, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
 
@@ -432,5 +495,7 @@ if __name__ == "__main__":
         exp_ctx_cache()
     elif cmd == "trainmfu":
         exp_train_mfu()
+    elif cmd == "ganstep":
+        exp_gan_step()
     else:
         main()

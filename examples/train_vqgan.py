@@ -24,6 +24,11 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--results-folder", default="./results")
     p.add_argument("--use-ema-vq", action="store_true", help="EMA vector quantizer instead of LFQ")
+    p.add_argument(
+        "--bf16", action="store_true",
+        help="bf16-compute enc/dec with f32 master weights (the reference's "
+             "generator-step autocast, trainers.py:315); discr/VGG/losses stay f32",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument(
         "--shard-state", action="store_true",
@@ -41,10 +46,13 @@ def main():
     )
     args = p.parse_args()
 
+    import jax.numpy as jnp
+
     vae = VQGanVAE(
         dim=args.dim,
         codebook_size=args.codebook_size,
         lookup_free_quantization=not args.use_ema_vq,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         rngs=nnx.Rngs(0),
     )
 
