@@ -59,6 +59,14 @@ def main():
         "--max-checkpoints", type=int, default=None,
         help="retain only the newest N train-state checkpoints",
     )
+    p.add_argument(
+        "--save-results-every", type=int, default=None,
+        help="render a sample grid from --sample-texts every N steps",
+    )
+    p.add_argument(
+        "--sample-texts", nargs="+", default=None,
+        help="prompts for the periodic sample grid",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(dim=args.vae_dim, codebook_size=args.codebook_size, rngs=nnx.Rngs(0))
@@ -94,6 +102,8 @@ def main():
         auto_resume=args.resume,
         async_checkpoints=args.async_checkpoints,
         max_checkpoints=args.max_checkpoints,
+        save_results_every=args.save_results_every,
+        sample_texts=args.sample_texts,
     )
 
     ds = CaptionedImageDataset(args.folder, args.image_size)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 from pathlib import Path
 from shutil import rmtree
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -561,12 +561,20 @@ class MaskGitTrainer:
         auto_resume: bool = False,
         async_checkpoints: bool = False,
         max_checkpoints: Optional[int] = None,
+        save_results_every: Optional[int] = None,
+        sample_texts: Optional[Sequence[str]] = None,
+        sample_kwargs: Optional[dict] = None,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
         self.grad_accum_every = grad_accum_every
         self.async_checkpoints = async_checkpoints
         self.max_checkpoints = max_checkpoints
+        self.save_results_every = save_results_every
+        if exists(save_results_every):
+            assert sample_texts, "save_results_every needs sample_texts to render"
+        self.sample_texts = sample_texts
+        self.sample_kwargs = dict(sample_kwargs or {})
         self.save_model_every = save_model_every
         self.use_ema = use_ema
         self.ema_kwargs = dict(
@@ -656,6 +664,30 @@ class MaskGitTrainer:
         )
         self.state = restored
         self.state["step"] = jnp.asarray(s, jnp.int32)
+
+    def save_sample_results(self, step: Optional[int] = None):
+        """Render a generation grid from `sample_texts` (EMA model when
+        available) into the results folder — the MaskGit-stage analogue of
+        the reference VAE trainer's periodic recon grids (trainers.py:361-389;
+        the reference never shipped a MaskGit trainer, README.md:235 Todo).
+
+        Runs the (jitted) decode on every process — Orbax-style, a rank gate
+        around a computation over potentially mesh-sharded params would
+        deadlock multi-host — and rank-gates only the file write inside
+        `save_image` via `is_main_process`.
+        """
+        step = default(step, self.steps)
+        model = self.maskgit_module(use_ema=self.use_ema)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0x5A), step)
+        with self.mesh:
+            images = model.generate(
+                list(self.sample_texts), rng=rng, **self.sample_kwargs
+            )
+        if is_main_process():
+            n = len(self.sample_texts)
+            grid = make_grid(np.asarray(images), nrow=min(n, 4))
+            save_image(grid, self.results_folder / f"maskgit.{step}.png")
+        self.print(f"{step}: saving samples to {self.results_folder}")
 
     def _build_train_step(self):
         graphdef = self.graphdef
@@ -767,6 +799,11 @@ class MaskGitTrainer:
             self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
             if (self.steps - 1) % self.save_model_every == 0:
                 self.save()
+            if (
+                exists(self.save_results_every)
+                and (self.steps - 1) % self.save_results_every == 0
+            ):
+                self.save_sample_results(self.steps - 1)
             log_fn(logs)
         wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")

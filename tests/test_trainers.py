@@ -156,6 +156,33 @@ def test_maskgit_trainer_data_loop(tmp_path):
     assert trainer.steps == 2
 
 
+def test_maskgit_trainer_periodic_samples(tmp_path):
+    folder = tmp_path / "mg-samples"
+    trainer = MaskGitTrainer(
+        _tiny_maskgit(),
+        num_train_steps=2,
+        batch_size=2,
+        results_folder=str(folder),
+        save_model_every=10**9,
+        use_ema=False,
+        save_results_every=2,
+        sample_texts=["a cat", "a dog"],
+        sample_kwargs=dict(timesteps=2, cond_scale=1.0),
+    )
+    rng = np.random.default_rng(0)
+
+    def data_gen():
+        while True:
+            yield rng.uniform(size=(2, 16, 16, 3)).astype(np.float32), ["a cat", "a dog"]
+
+    trainer.train(data_gen())
+    assert (folder / "maskgit.0.png").exists()
+    from PIL import Image
+
+    img = Image.open(folder / "maskgit.0.png")
+    assert img.size[0] > 16 and img.size[1] > 16  # a grid, not a blank stub
+
+
 def test_maskgit_trainer_checkpoint_resume(tmp_path):
     folder = str(tmp_path / "mg3")
     t1 = MaskGitTrainer(
