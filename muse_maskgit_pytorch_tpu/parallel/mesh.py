@@ -121,7 +121,13 @@ def fsdp_partition_specs(
     (grads back to shards) over ICI from the shardings alone.
     """
     axis = axis or fsdp_axis_for(mesh)
+    if axis is not None:
+        assert axis in mesh.shape, f"fsdp axis {axis!r} not in mesh axes {tuple(mesh.shape)}"
     base = partition_specs_for(tree, base_rules) if base_rules else None
+
+    def in_mesh(ax) -> bool:
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        return all(a in mesh.shape for a in axes)
 
     def axis_size(ax) -> int:
         if isinstance(ax, tuple):
@@ -137,8 +143,11 @@ def fsdp_partition_specs(
         shape = getattr(x, "shape", ())
         parts = [None] * len(shape)
         if base_spec is not None:
+            # rules naming axes absent from this mesh replicate (same
+            # fall-back contract as partition_specs_for) instead of KeyError
+            # — e.g. TP base_rules on a pure-data mesh
             for i, ax in enumerate(tuple(base_spec)[: len(shape)]):
-                if ax is not None and shape[i] % axis_size(ax) == 0:
+                if ax is not None and in_mesh(ax) and shape[i] % axis_size(ax) == 0:
                     parts[i] = ax
         if axis is None or int(np.prod(shape, initial=1)) < min_size:
             return to_spec(parts)

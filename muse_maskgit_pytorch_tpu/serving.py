@@ -26,6 +26,7 @@ from flax import nnx
 
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
 from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
+from muse_maskgit_pytorch_tpu.parallel.mesh import shard_batch
 
 
 def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
@@ -158,27 +159,13 @@ class GeneratePipeline:
                 [self.negative_prompt] * self.batch_size
             )
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                embeds = jax.device_put(
-                    embeds, NamedSharding(self.mesh, P(self._data_axis, None, None))
-                )
+                embeds = shard_batch(embeds, self.mesh, self._data_axis)
             self._neg_embeds_cache = embeds
         return self._neg_embeds_cache
 
-    def _shard_batch(self, embeds, mask):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ax = self._data_axis
-        embeds = jax.device_put(
-            embeds, NamedSharding(self.mesh, P(ax, None, None))
-        )
-        mask = jax.device_put(mask, NamedSharding(self.mesh, P(ax, None)))
-        return embeds, mask
-
     def _generate_batch(self, embeds, mask):
         if self.mesh is not None:
-            embeds, mask = self._shard_batch(embeds, mask)
+            embeds, mask = shard_batch((embeds, mask), self.mesh, self._data_axis)
             with self.mesh:
                 return self._generate_batch_inner(embeds, mask)
         return self._generate_batch_inner(embeds, mask)

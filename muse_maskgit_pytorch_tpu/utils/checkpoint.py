@@ -153,7 +153,11 @@ def save_train_state(
     async_save the single process-wide AsyncCheckpointer has already drained
     any prior in-flight write by the time `save` returns, so every dir the
     prune sees is durable; the in-flight current step still lives under its
-    tmp name and is never touched."""
+    tmp name and is never touched. The retention count is taken over
+    FINALIZED steps only — an in-flight async save must not displace a
+    durable checkpoint (a crash mid-write would otherwise leave fewer than
+    `keep` restorable states); the displaced dir is pruned at the next save,
+    once this one has committed."""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step_{step:08d}"
@@ -162,11 +166,23 @@ def save_train_state(
     else:
         _checkpointer().save(path, tree, force=True)
     if keep is not None:
-        assert keep >= 1, f"keep must be >= 1, got {keep}"
-        retained = set(sorted(set(finalized_steps(ckpt_dir)) | {step})[-keep:])
-        for s in finalized_steps(ckpt_dir):
-            if s not in retained:
-                shutil.rmtree(ckpt_dir / f"step_{s:08d}", ignore_errors=True)
+        prune_checkpoints(ckpt_dir, keep, current_step=step)
+
+
+def prune_checkpoints(ckpt_dir, keep: int, current_step: Optional[int] = None) -> None:
+    """Delete all but the newest `keep` FINALIZED checkpoints (plus
+    `current_step`, which may still be an in-flight async write under its
+    Orbax tmp name). Counting only finalized dirs means an uncommitted save
+    can never displace a durable checkpoint — a crash mid-write always
+    leaves `keep` restorable states on disk."""
+    assert keep >= 1, f"keep must be >= 1, got {keep}"
+    ckpt_dir = Path(ckpt_dir)
+    retained = set(finalized_steps(ckpt_dir)[-keep:])
+    if current_step is not None:
+        retained.add(current_step)
+    for s in finalized_steps(ckpt_dir):
+        if s not in retained:
+            shutil.rmtree(ckpt_dir / f"step_{s:08d}", ignore_errors=True)
 
 
 def latest_step(ckpt_dir) -> Optional[int]:

@@ -111,6 +111,19 @@ def test_fsdp_specs_compose_with_tp_rules():
     assert specs["plain"] == P("data")
 
 
+def test_fsdp_specs_tp_rules_on_mesh_without_tensor_axis():
+    """Rules naming axes absent from the mesh replicate (the documented
+    partition_specs_for fall-back) instead of KeyError — e.g. passing
+    DEFAULT_TP_RULES with the default pure-data mesh."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import DEFAULT_TP_RULES
+
+    mesh = create_mesh()  # data: 8, no 'tensor'
+    tree = {"layers": {"0": {"attn": {"to_q": {"kernel": jnp.zeros((256, 512))}}}}}
+    specs = fsdp_partition_specs(tree, mesh, base_rules=DEFAULT_TP_RULES)
+    # the tensor dim falls back to replication; fsdp still shards a free dim
+    assert specs["layers"]["0"]["attn"]["to_q"]["kernel"] == P(None, "data")
+
+
 def test_maskgit_trainer_tp_plus_fsdp_matches_replicated(tmp_path):
     """shard_state + TP rules over a data x tensor mesh must still be a pure
     layout change vs the plain 8-way data-parallel trainer."""
