@@ -41,6 +41,9 @@ def main():
     p.add_argument("--grad-accum-every", type=int, default=1)
     p.add_argument("--num-train-steps", type=int, default=100000)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="cosine-decay the lr over this many steps after warmup")
     p.add_argument("--t5-name", default="google/t5-v1_1-base")
     p.add_argument("--self-token-critic", action="store_true")
     p.add_argument("--results-folder", default="./results-maskgit")
@@ -96,6 +99,8 @@ def main():
         num_train_steps=args.num_train_steps,
         batch_size=args.batch_size,
         lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
         grad_accum_every=args.grad_accum_every,
         results_folder=args.results_folder,
         shard_state=args.shard_state,

@@ -22,6 +22,9 @@ def main():
     p.add_argument("--grad-accum-every", type=int, default=8)
     p.add_argument("--num-train-steps", type=int, default=50000)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-steps", type=int, default=None,
+                   help="cosine-decay the lr over this many steps after warmup")
     p.add_argument("--results-folder", default="./results")
     p.add_argument("--use-ema-vq", action="store_true", help="EMA vector quantizer instead of LFQ")
     p.add_argument(
@@ -63,6 +66,8 @@ def main():
         batch_size=args.batch_size,
         image_size=args.image_size,
         lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
         grad_accum_every=args.grad_accum_every,
         results_folder=args.results_folder,
         use_ema=True,

@@ -138,7 +138,31 @@ def _eval_recon_jit(graphdef, states, images):
     return jnp.clip(model(images, train=False), 0.0, 1.0)
 
 
-def _make_optimizer(lr: float, max_grad_norm: Optional[float]):
+def lr_schedule(
+    lr: float,
+    warmup_steps: int = 0,
+    decay_steps: Optional[int] = None,
+    end_lr_ratio: float = 0.1,
+):
+    """Optional linear warmup + cosine decay. Returns the constant `lr` when
+    both knobs are off (the reference's fixed-lr behavior, trainers.py:173),
+    else an optax schedule. The schedule's step count lives inside the
+    optimizer state, so checkpoint resume continues it exactly."""
+    if not warmup_steps and decay_steps is None:
+        return lr
+    scheds, bounds = [], []
+    if warmup_steps:
+        scheds.append(optax.linear_schedule(0.0, lr, warmup_steps))
+        bounds.append(warmup_steps)
+    if decay_steps is not None:
+        scheds.append(optax.cosine_decay_schedule(lr, decay_steps, alpha=end_lr_ratio))
+    else:
+        scheds.append(optax.constant_schedule(lr))
+    return scheds[0] if len(scheds) == 1 else optax.join_schedules(scheds, bounds)
+
+
+def _make_optimizer(lr, max_grad_norm: Optional[float]):
+    """`lr`: float or optax schedule (see `lr_schedule`)."""
     chain = []
     if exists(max_grad_norm):
         chain.append(optax.clip_by_global_norm(max_grad_norm))
@@ -174,6 +198,8 @@ class VQGanVAETrainer:
         batch_size: int,
         image_size: int,
         lr: float = 3e-4,
+        warmup_steps: int = 0,
+        lr_decay_steps: Optional[int] = None,
         grad_accum_every: int = 1,
         max_grad_norm: Optional[float] = None,
         discr_max_grad_norm: Optional[float] = None,
@@ -222,8 +248,9 @@ class VQGanVAETrainer:
             vae, _DISCR, _VGG, _GEN, ...
         )
 
-        self.gen_tx = _make_optimizer(lr, max_grad_norm)
-        self.discr_tx = _make_optimizer(lr, discr_max_grad_norm)
+        self._lr_sched = lr_schedule(lr, warmup_steps, lr_decay_steps)
+        self.gen_tx = _make_optimizer(self._lr_sched, max_grad_norm)
+        self.discr_tx = _make_optimizer(self._lr_sched, discr_max_grad_norm)
 
         self.state = dict(
             gen_params=gen_params,
@@ -271,6 +298,10 @@ class VQGanVAETrainer:
         # elastic recovery: pick up the latest checkpoint if present
         # (the reference cannot — its checkpoints drop the step counter,
         # trainers.py:253-273)
+        # drain in-flight async saves BEFORE listing steps, or a just-saved
+        # step is invisible (still a tmp dir) and resume silently goes stale
+        if auto_resume:
+            wait_for_saves()
         if auto_resume and latest_step(self.results_folder / "checkpoints") is not None:
             self.load()
             self.print(f"auto-resumed from step {self.steps}")
@@ -326,6 +357,7 @@ class VQGanVAETrainer:
         graphdef = self.graphdef
         gen_tx, discr_tx = self.gen_tx, self.discr_tx
         use_ema, ema_kwargs = self.use_ema, self.ema_kwargs
+        lr_sched = self._lr_sched
         has_discr = self.has_discr
         gp_every = self.apply_grad_penalty_every
         accum = self.grad_accum_every
@@ -389,7 +421,12 @@ class VQGanVAETrainer:
             updates, gen_opt = gen_tx.update(g_avg, state["gen_opt"], state["gen_params"])
             gen_params = optax.apply_updates(state["gen_params"], updates)
 
-            logs = {"loss": gen_loss_sum / accum}
+            logs = {
+                "loss": gen_loss_sum / accum,
+                "grad_norm": optax.global_norm(g_avg),
+            }
+            if callable(lr_sched):  # logged from inside the jit: a host-side
+                logs["lr"] = lr_sched(step)  # schedule eval is a tunnel RPC
 
             # -- discriminator phase
             discr_params, discr_opt = state["discr_params"], state["discr_opt"]
@@ -412,6 +449,7 @@ class VQGanVAETrainer:
                 d_updates, discr_opt = discr_tx.update(d_avg, discr_opt, discr_params)
                 discr_params = optax.apply_updates(discr_params, d_updates)
                 logs["discr_loss"] = d_loss_sum / accum
+                logs["discr_grad_norm"] = optax.global_norm(d_avg)
 
             # -- EMA of the generator (reference trainers.py:358-359)
             ema = state["ema"]
@@ -543,6 +581,8 @@ class MaskGitTrainer:
         num_train_steps: int,
         batch_size: int,
         lr: float = 1e-4,
+        warmup_steps: int = 0,
+        lr_decay_steps: Optional[int] = None,
         weight_decay: float = 0.0,
         grad_accum_every: int = 1,
         max_grad_norm: Optional[float] = None,
@@ -593,10 +633,11 @@ class MaskGitTrainer:
         )
         self.graphdef, params, frozen = nnx.split(maskgit, trainable_filter, ...)
 
+        self._lr_sched = lr_schedule(lr, warmup_steps, lr_decay_steps)
         if weight_decay > 0:
-            opt = optax.adamw(lr, weight_decay=weight_decay)
+            opt = optax.adamw(self._lr_sched, weight_decay=weight_decay)
         else:
-            opt = optax.adam(lr)
+            opt = optax.adam(self._lr_sched)
         chain = []
         if exists(max_grad_norm):
             chain.append(optax.clip_by_global_norm(max_grad_norm))
@@ -624,6 +665,10 @@ class MaskGitTrainer:
 
         self._train_step = self._build_train_step()
 
+        # drain in-flight async saves BEFORE listing steps, or a just-saved
+        # step is invisible (still a tmp dir) and resume silently goes stale
+        if auto_resume:
+            wait_for_saves()
         if auto_resume and latest_step(self.results_folder / "checkpoints") is not None:
             self.load()
             self.print(f"auto-resumed from step {self.steps}")
@@ -683,9 +728,12 @@ class MaskGitTrainer:
             images = model.generate(
                 list(self.sample_texts), rng=rng, **self.sample_kwargs
             )
+            # quantize on device: the tunneled device->host path is slow and
+            # high-variance, so fetch 1 byte/px, not 4 (CLAUDE.md)
+            images_u8 = (jnp.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         if is_main_process():
             n = len(self.sample_texts)
-            grid = make_grid(np.asarray(images), nrow=min(n, 4))
+            grid = make_grid(np.asarray(images_u8).astype(np.float32) / 255.0, nrow=min(n, 4))
             save_image(grid, self.results_folder / f"maskgit.{step}.png")
         self.print(f"{step}: saving samples to {self.results_folder}")
 
@@ -693,6 +741,7 @@ class MaskGitTrainer:
         graphdef = self.graphdef
         tx = self.tx
         accum = self.grad_accum_every
+        lr_sched = self._lr_sched
         use_ema, ema_kwargs = self.use_ema, self.ema_kwargs
         attn_impl = self.attn_impl
         jit_kwargs = _state_jit_kwargs(self)
@@ -742,7 +791,13 @@ class MaskGitTrainer:
                 step=step + 1,
                 rng=rng,
             )
-            return new_state, {"loss": loss_sum / accum}
+            logs = {
+                "loss": loss_sum / accum,
+                "grad_norm": optax.global_norm(g_avg),
+            }
+            if callable(lr_sched):  # logged from inside the jit: a host-side
+                logs["lr"] = lr_sched(step)  # schedule eval is a tunnel RPC
+            return new_state, logs
 
         return train_step
 

@@ -250,6 +250,65 @@ def test_checkpoint_retention_and_tmp_dir_robustness(tmp_path):
     assert finalized_steps(ckpt) == [4]
 
 
+def test_lr_schedule_shapes():
+    from muse_maskgit_pytorch_tpu.training.trainers import lr_schedule
+
+    # both knobs off -> plain float (reference fixed-lr behavior)
+    assert lr_schedule(3e-4) == 3e-4
+    sched = lr_schedule(1e-3, warmup_steps=10, decay_steps=100, end_lr_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    assert np.isclose(float(sched(5)), 5e-4)
+    assert np.isclose(float(sched(10)), 1e-3)  # warmup done -> peak
+    assert float(sched(60)) < 1e-3  # decaying
+    assert np.isclose(float(sched(10 + 100)), 1e-4)  # floor = end_lr_ratio * lr
+
+
+def test_maskgit_trainer_schedule_and_grad_norm_logs(tmp_path):
+    trainer = MaskGitTrainer(
+        _tiny_maskgit(),
+        num_train_steps=4,
+        batch_size=2,
+        lr=1e-3,
+        warmup_steps=2,
+        lr_decay_steps=4,
+        results_folder=str(tmp_path / "mg-sched"),
+        save_model_every=10**9,
+        use_ema=False,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(1, 2, 16, 16, 3)).astype(np.float32)
+    te = rng.normal(size=(1, 2, 6, 32)).astype(np.float32)
+    tm = np.ones((1, 2, 6), bool)
+    logs = [trainer.train_step_arrays(images, te, tm) for _ in range(4)]
+    assert all(np.isfinite(l["grad_norm"]) and l["grad_norm"] > 0 for l in logs)
+    lrs = [l["lr"] for l in logs]
+    assert lrs[0] == 0.0 and lrs[1] == pytest.approx(5e-4)  # warmup ramp
+    assert lrs[2] == pytest.approx(1e-3)  # peak
+    assert lrs[3] < lrs[2]  # cosine decay begins
+
+
+def test_prune_counts_only_finalized_checkpoints(tmp_path):
+    """An in-flight async save (still an Orbax tmp dir) must NOT displace a
+    durable checkpoint: a crash mid-write would otherwise leave fewer than
+    `keep` restorable states (zero, at keep=1)."""
+    from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+        finalized_steps,
+        prune_checkpoints,
+    )
+
+    ckpt = tmp_path / "ckpts"
+    (ckpt / "step_00001000").mkdir(parents=True)
+    # step 2000's write is in flight under its tmp name
+    (ckpt / "step_00002000.orbax-checkpoint-tmp-777").mkdir()
+    prune_checkpoints(ckpt, keep=1, current_step=2000)
+    assert finalized_steps(ckpt) == [1000]  # durable state survives
+
+    # once 2000 commits, the next prune retires 1000
+    (ckpt / "step_00002000.orbax-checkpoint-tmp-777").rename(ckpt / "step_00002000")
+    prune_checkpoints(ckpt, keep=1, current_step=3000)
+    assert finalized_steps(ckpt) == [2000]
+
+
 def test_maskgit_trainer_max_checkpoints(tmp_path):
     folder = str(tmp_path / "mg-keep")
     t = MaskGitTrainer(
