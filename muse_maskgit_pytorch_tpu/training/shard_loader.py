@@ -57,7 +57,12 @@ def _lib() -> ctypes.CDLL:
                 ctypes.c_uint64,
                 ctypes.c_int,
                 ctypes.c_int,
+                ctypes.c_int64,
             ]
+            lib.msl_delivered.restype = ctypes.c_int64
+            lib.msl_delivered.argtypes = [ctypes.c_void_p]
+            lib.msl_epoch.restype = ctypes.c_int64
+            lib.msl_epoch.argtypes = [ctypes.c_void_p]
             lib.msl_seq_len.restype = ctypes.c_int64
             lib.msl_seq_len.argtypes = [ctypes.c_void_p]
             lib.msl_num_seqs.restype = ctypes.c_int64
@@ -87,7 +92,15 @@ def write_shard(path, tokens: np.ndarray) -> None:
 
 
 class ShardLoader:
-    """Shuffled, prefetched batches of token sequences from mmap'd shards."""
+    """Shuffled, prefetched batches of token sequences from mmap'd shards.
+
+    Deterministic resume: `state_dict()` returns the consumed-batch count;
+    reconstructing with the SAME (paths, batch_size, seed, process_*) args
+    plus `skip_batches=state["delivered_batches"]` fast-forwards the shuffle
+    stream (per-epoch reshuffles replayed in C++) so training continues the
+    exact data order (bit-identical with num_threads=1; with more prefetch
+    threads, delivery order may interleave exactly as in a live run).
+    """
 
     def __init__(
         self,
@@ -98,6 +111,7 @@ class ShardLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        skip_batches: int = 0,
     ):
         # multi-host data parallelism: each host mmaps only its round-robin
         # slice of the shard list (and offsets its shuffle seed) so the
@@ -112,7 +126,8 @@ class ShardLoader:
             *[str(p).encode() for p in paths]
         )
         self._h = self._lib.msl_open(
-            c_paths, len(paths), batch_size, seed, num_threads, int(drop_last)
+            c_paths, len(paths), batch_size, seed, num_threads, int(drop_last),
+            int(skip_batches),
         )
         if not self._h:
             raise ValueError(f"failed to open shards: {list(paths)}")
@@ -121,6 +136,22 @@ class ShardLoader:
         self.num_seqs = int(self._lib.msl_num_seqs(self._h))
         self.batches_per_epoch = int(self._lib.msl_batches_per_epoch(self._h))
         self._buf = np.empty((batch_size, self.seq_len), np.int32)
+
+    @property
+    def delivered_batches(self) -> int:
+        """Batches handed to the consumer since open (includes skip_batches)."""
+        return int(self._lib.msl_delivered(self._h))
+
+    @property
+    def epoch(self) -> int:
+        """Zero-based shuffle epoch of the next claim (monitoring)."""
+        return int(self._lib.msl_epoch(self._h))
+
+    def state_dict(self) -> dict:
+        """Resume token — save next to the train-state checkpoint and pass
+        `skip_batches=state["delivered_batches"]` to a new loader constructed
+        with identical (paths, batch_size, seed, process_*) arguments."""
+        return {"delivered_batches": self.delivered_batches}
 
     def next_batch(self) -> np.ndarray:
         rows = self._lib.msl_next_batch(

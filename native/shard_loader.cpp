@@ -17,8 +17,15 @@
 //   then num_seqs * seq_len * int32 token ids
 //
 // C ABI (consumed from Python via ctypes — no pybind11 in this toolchain):
-//   msl_open(paths, n_paths, batch_size, seed, n_threads, drop_last) -> handle
+//   msl_open(paths, n_paths, batch_size, seed, n_threads, drop_last,
+//            skip_batches) -> handle; skip_batches fast-forwards the shuffle
+//     stream (epoch wraps + reshuffles replayed from `seed`) BEFORE the
+//     prefetch workers start — deterministic mid-epoch resume of the data
+//     stream, the role of torchdata's StatefulDataLoader snapshots
 //   msl_seq_len(h), msl_num_seqs(h), msl_batches_per_epoch(h)
+//   msl_delivered(h) -> batches handed to the consumer since open (the
+//     resume token: reopen with skip_batches = this value)
+//   msl_epoch(h) -> zero-based shuffle epoch of the NEXT claim
 //   msl_next_batch(h, out_ptr) -> rows filled (0 on epoch end error; epochs
 //     auto-advance with a reshuffle, so it never returns 0 in practice)
 //   msl_close(h)
@@ -100,13 +107,21 @@ class ShardLoader {
     return true;
   }
 
-  bool finalize() {
+  bool finalize(int64_t skip_batches) {
     if (shards_.empty()) return false;
     for (size_t i = 0; i < shards_.size(); ++i)
       for (int64_t j = 0; j < shards_[i].num_seqs; ++j)
         index_.push_back({static_cast<int32_t>(i), j});
     if (index_.empty()) return false;
     reshuffle();
+    // fast-forward the shuffle stream before any worker claims: replays the
+    // exact per-epoch std::shuffle sequence from the ctor seed, so batch
+    // skip_batches here is bit-identical to batch skip_batches of a fresh
+    // run (delivery ORDER is deterministic for n_threads == 1; with more
+    // threads the prefetch ring may reorder, same as a live run)
+    if (skip_batches < 0) return false;
+    for (int64_t k = 0; k < skip_batches; ++k) advance_cursor();
+    delivered_.store(skip_batches);
     stop_.store(false);
     for (int t = 0; t < n_threads_; ++t)
       workers_.emplace_back([this] { worker_loop(); });
@@ -132,8 +147,15 @@ class ShardLoader {
     }
     q_cv_.notify_all();
     memcpy(out, b.tokens.data(), b.tokens.size() * 4);
+    delivered_.fetch_add(1);
     return b.rows;
   }
+
+  // Resume token: batches handed to the consumer (claimed-but-undelivered
+  // prefetch batches are NOT counted — they re-claim after resume, standard
+  // at-least-once loader semantics).
+  int64_t delivered() const { return delivered_.load(); }
+  int64_t epoch() const { return epoch_.load(); }
 
   void close() {
     stop_.store(true);
@@ -148,13 +170,12 @@ class ShardLoader {
     cursor_.store(0);
   }
 
-  // Claim the next batch's index entries; the (shard, row) pairs are
-  // SNAPSHOTTED under epoch_mu_ — an epoch-wrap reshuffle() std::shuffles
-  // index_ in place, so reading index_ after releasing the lock could tear
-  // pairs mid-shuffle (UB / out-of-bounds rows). Epoch wrap itself also
-  // happens here, so exactly one thread reshuffles.
-  bool claim(std::vector<std::pair<int32_t, int64_t>>* entries) {
-    std::lock_guard<std::mutex> lk(epoch_mu_);
+  // Advance the epoch cursor by one batch, wrapping + reshuffling at epoch
+  // end; returns the claimed [begin, begin+take) range. Callers: claim()
+  // under epoch_mu_, and finalize()'s fast-forward (single-threaded, before
+  // workers exist) — both must go through here so a resumed stream replays
+  // the identical wrap/reshuffle sequence.
+  std::pair<int64_t, int64_t> advance_cursor() {
     int64_t n = num_seqs();
     int64_t c = cursor_.load();
     if (c >= n || (drop_last_ && c + batch_size_ > n)) {
@@ -164,6 +185,17 @@ class ShardLoader {
     }
     int64_t take = std::min<int64_t>(batch_size_, n - c);
     cursor_.store(c + take);
+    return {c, take};
+  }
+
+  // Claim the next batch's index entries; the (shard, row) pairs are
+  // SNAPSHOTTED under epoch_mu_ — an epoch-wrap reshuffle() std::shuffles
+  // index_ in place, so reading index_ after releasing the lock could tear
+  // pairs mid-shuffle (UB / out-of-bounds rows). Epoch wrap itself also
+  // happens here, so exactly one thread reshuffles.
+  bool claim(std::vector<std::pair<int32_t, int64_t>>* entries) {
+    std::lock_guard<std::mutex> lk(epoch_mu_);
+    auto [c, take] = advance_cursor();
     entries->assign(index_.begin() + c, index_.begin() + c + take);
     return true;
   }
@@ -207,7 +239,8 @@ class ShardLoader {
   std::vector<Shard> shards_;
   std::vector<std::pair<int32_t, int64_t>> index_;
   std::atomic<int64_t> cursor_{0};
-  int64_t epoch_ = 0;
+  std::atomic<int64_t> delivered_{0};
+  std::atomic<int64_t> epoch_{0};
   std::mutex epoch_mu_;
 
   std::deque<Batch> queue_;
@@ -222,7 +255,7 @@ class ShardLoader {
 extern "C" {
 
 void* msl_open(const char** paths, int n_paths, int batch_size, uint64_t seed,
-               int n_threads, int drop_last) {
+               int n_threads, int drop_last, int64_t skip_batches) {
   if (n_paths <= 0 || batch_size <= 0) return nullptr;
   auto* loader = new ShardLoader(batch_size, seed, n_threads, drop_last != 0);
   for (int i = 0; i < n_paths; ++i) {
@@ -232,7 +265,7 @@ void* msl_open(const char** paths, int n_paths, int batch_size, uint64_t seed,
       return nullptr;
     }
   }
-  if (!loader->finalize()) {
+  if (!loader->finalize(skip_batches)) {
     loader->close();
     delete loader;
     return nullptr;
@@ -249,6 +282,12 @@ int64_t msl_batches_per_epoch(void* h) {
 int msl_next_batch(void* h, int32_t* out) {
   return static_cast<ShardLoader*>(h)->next_batch(out);
 }
+
+int64_t msl_delivered(void* h) {
+  return static_cast<ShardLoader*>(h)->delivered();
+}
+
+int64_t msl_epoch(void* h) { return static_cast<ShardLoader*>(h)->epoch(); }
 
 void msl_close(void* h) {
   auto* loader = static_cast<ShardLoader*>(h);

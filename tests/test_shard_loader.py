@@ -101,3 +101,45 @@ def test_multihost_shard_partitioning(tmp_path):
         dl.close()
     assert seen[0].isdisjoint(seen[1])
     assert seen[0] | seen[1] == {0, 1, 2, 3}
+
+
+def test_resume_is_deterministic_mid_epoch(shards):
+    """state_dict + skip_batches continues the exact shuffle stream: batch k
+    of a resumed loader == batch k of an uninterrupted run (num_threads=1 for
+    deterministic delivery order)."""
+    full = ShardLoader(shards, batch_size=4, seed=3, num_threads=1)
+    reference = [full.next_batch().copy() for _ in range(12)]  # crosses epoch wrap (7/epoch)
+    full.close()
+
+    part = ShardLoader(shards, batch_size=4, seed=3, num_threads=1)
+    for _ in range(5):
+        part.next_batch()
+    state = part.state_dict()
+    part.close()
+    assert state == {"delivered_batches": 5}
+
+    resumed = ShardLoader(
+        shards, batch_size=4, seed=3, num_threads=1,
+        skip_batches=state["delivered_batches"],
+    )
+    assert resumed.delivered_batches == 5
+    for k in range(5, 12):
+        np.testing.assert_array_equal(resumed.next_batch(), reference[k])
+    resumed.close()
+
+
+def test_resume_across_epoch_boundary(tmp_path):
+    """Fast-forward replays epoch wraps + reshuffles exactly."""
+    rng = np.random.default_rng(1)
+    write_shard(tmp_path / "s.bin", rng.integers(0, 99, size=(9, 4), dtype=np.int32))
+    full = ShardLoader([tmp_path / "s.bin"], batch_size=2, seed=11, num_threads=1)
+    reference = [full.next_batch().copy() for _ in range(10)]  # 4 batches/epoch
+    assert full.epoch >= 2
+    full.close()
+
+    resumed = ShardLoader(
+        [tmp_path / "s.bin"], batch_size=2, seed=11, num_threads=1, skip_batches=6
+    )
+    for k in range(6, 10):
+        np.testing.assert_array_equal(resumed.next_batch(), reference[k])
+    resumed.close()
