@@ -30,6 +30,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--shard-size", type=int, default=8192, help="sequences per shard")
     p.add_argument("--out-prefix", default="tokens/shard")
+    p.add_argument(
+        "--captions", action="store_true",
+        help="also write <shard>.captions sidecars from <image-stem>.txt "
+             "files (missing captions become empty prompts) for "
+             "MaskGitTrainer.train_from_shards(use_captions=True)",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(
@@ -45,21 +51,34 @@ def main():
     ds = ImageDataset(args.folder, args.image_size, random_flip=False)
     dl = DataLoader(ds, args.batch_size, shuffle=False)
 
+    def caption_for(i: int) -> str:
+        txt = ds.paths[i].with_suffix(".txt")
+        return txt.read_text().strip() if txt.exists() else ""
+
     from pathlib import Path
 
     Path(args.out_prefix).parent.mkdir(parents=True, exist_ok=True)
 
-    buf, shard_idx, total = [], 0, 0
+    def flush(buf, caps, shard_idx):
+        write_shard(
+            f"{args.out_prefix}_{shard_idx:05d}.bin",
+            np.concatenate(buf),
+            captions=caps if args.captions else None,
+        )
+
+    buf, caps, shard_idx, total = [], [], 0, 0
     for batch in dl:
         ids = np.asarray(encode(batch))  # (b, f, f)
         buf.append(ids.reshape(ids.shape[0], -1).astype(np.int32))
+        if args.captions:  # DataLoader is unshuffled: ds.paths order
+            caps.extend(caption_for(total + j) for j in range(ids.shape[0]))
         total += ids.shape[0]
         if sum(b.shape[0] for b in buf) >= args.shard_size:
-            write_shard(f"{args.out_prefix}_{shard_idx:05d}.bin", np.concatenate(buf))
+            flush(buf, caps, shard_idx)
             print(f"wrote shard {shard_idx} ({total} sequences so far)")
-            buf, shard_idx = [], shard_idx + 1
+            buf, caps, shard_idx = [], [], shard_idx + 1
     if buf:
-        write_shard(f"{args.out_prefix}_{shard_idx:05d}.bin", np.concatenate(buf))
+        flush(buf, caps, shard_idx)
     print(f"done: {total} sequences")
 
 

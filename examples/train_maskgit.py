@@ -29,7 +29,18 @@ class CaptionedImageDataset(ImageDataset):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--folder", required=True)
+    p.add_argument("--folder", help="captioned image folder (images path)")
+    p.add_argument(
+        "--token-shards", nargs="+", default=None,
+        help="pre-tokenized shard files from examples/tokenize_dataset.py "
+             "(fast ids path via the native C++ loader; data stream resumes "
+             "exactly with --resume)",
+    )
+    p.add_argument(
+        "--shard-captions", action="store_true",
+        help="join <shard>.captions sidecars for text conditioning "
+             "(tokenize_dataset.py --captions)",
+    )
     p.add_argument("--vae-checkpoint", required=True, help="msgpack from VQGanVAE.save")
     p.add_argument("--vae-dim", type=int, default=256)
     p.add_argument("--codebook-size", type=int, default=65536)
@@ -71,6 +82,7 @@ def main():
         help="prompts for the periodic sample grid",
     )
     args = p.parse_args()
+    assert args.folder or args.token_shards, "pass --folder or --token-shards"
 
     vae = VQGanVAE(dim=args.vae_dim, codebook_size=args.codebook_size, rngs=nnx.Rngs(0))
     vae.load(args.vae_checkpoint)
@@ -110,6 +122,12 @@ def main():
         save_results_every=args.save_results_every,
         sample_texts=args.sample_texts,
     )
+
+    if args.token_shards:
+        trainer.train_from_shards(
+            args.token_shards, use_captions=args.shard_captions
+        )
+        return
 
     ds = CaptionedImageDataset(args.folder, args.image_size)
 

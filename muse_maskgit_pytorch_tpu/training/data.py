@@ -172,6 +172,11 @@ def prefetch_iterator(it: Iterator, size: int = 2) -> Iterator:
             yield x
     finally:
         stop.set()
+        # join so `close()` on this generator guarantees the producer is no
+        # longer touching `it`'s underlying resources (e.g. the native shard
+        # loader handle, which the caller may free right after). put_bounded's
+        # 0.5 s put timeout bounds how long the producer needs to observe stop.
+        t.join(timeout=5.0)
 
 
 def split_dataset(dataset: ImageDataset, valid_frac: float, seed: int = 42):

@@ -74,14 +74,22 @@ def _lib() -> ctypes.CDLL:
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.msl_next_batch_meta.restype = ctypes.c_int
+            lib.msl_next_batch_meta.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.msl_close.restype = None
             lib.msl_close.argtypes = [ctypes.c_void_p]
             _lib_handle = lib
     return _lib_handle
 
 
-def write_shard(path, tokens: np.ndarray) -> None:
-    """tokens: (num_seqs, seq_len) int32 -> binary shard file."""
+def write_shard(path, tokens: np.ndarray, captions: Optional[Sequence[str]] = None) -> None:
+    """tokens: (num_seqs, seq_len) int32 -> binary shard file. `captions`
+    (one per sequence) additionally writes the `<path>.captions` sidecar."""
     tokens = np.ascontiguousarray(tokens, np.int32)
     assert tokens.ndim == 2
     with open(path, "wb") as f:
@@ -89,6 +97,63 @@ def write_shard(path, tokens: np.ndarray) -> None:
         f.write(np.int64(tokens.shape[0]).tobytes())
         f.write(np.int64(tokens.shape[1]).tobytes())
         f.write(tokens.tobytes())
+    if captions is not None:
+        assert len(captions) == tokens.shape[0], "one caption per sequence"
+        write_caption_file(caption_path_for(path), captions)
+
+
+_CAPTION_MAGIC = b"MUSECAP1"
+
+
+def caption_path_for(shard_path) -> Path:
+    return Path(str(shard_path) + ".captions")
+
+
+def write_caption_file(path, captions: Sequence[str]) -> None:
+    """Length-prefixed utf-8 caption sidecar: magic, int64 n, int64[n+1]
+    byte offsets into the blob, then the concatenated utf-8 blob. Offsets
+    (not newline splits) so captions may contain any character."""
+    blobs = [c.encode("utf-8") for c in captions]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    with open(path, "wb") as f:
+        f.write(_CAPTION_MAGIC)
+        f.write(np.int64(len(blobs)).tobytes())
+        f.write(offsets.tobytes())
+        f.write(b"".join(blobs))
+
+
+class CaptionStore:
+    """Random access to per-sequence captions across shards, addressed by the
+    loader's (shard ordinal, row) provenance. Offset tables load eagerly
+    (16 bytes/caption); text blobs are read lazily per lookup."""
+
+    def __init__(self, shard_paths: Sequence):
+        self._paths = [caption_path_for(p) for p in shard_paths]
+        self._offsets, self._files = [], []
+        for p in self._paths:
+            f = open(p, "rb")  # held open: lookups seek the page cache
+            self._files.append(f)
+            if f.read(8) != _CAPTION_MAGIC:
+                raise ValueError(f"{p}: not a caption sidecar")
+            n = int(np.frombuffer(f.read(8), np.int64)[0])
+            self._offsets.append(np.frombuffer(f.read(8 * (n + 1)), np.int64))
+        self._blob_start = [8 + 8 + 8 * len(o) for o in self._offsets]
+
+    def lookup(self, shard_idx: np.ndarray, row_idx: np.ndarray) -> list:
+        out = []
+        for si, ri in zip(shard_idx.tolist(), row_idx.tolist()):
+            off = self._offsets[si]
+            start, end = int(off[ri]), int(off[ri + 1])
+            f = self._files[si]
+            f.seek(self._blob_start[si] + start)
+            out.append(f.read(end - start).decode("utf-8"))
+        return out
+
+    def close(self):
+        for f in self._files:
+            f.close()
+        self._files = []
 
 
 class ShardLoader:
@@ -136,6 +201,9 @@ class ShardLoader:
         self.num_seqs = int(self._lib.msl_num_seqs(self._h))
         self.batches_per_epoch = int(self._lib.msl_batches_per_epoch(self._h))
         self._buf = np.empty((batch_size, self.seq_len), np.int32)
+        self._shard_buf = np.empty((batch_size,), np.int32)
+        self._row_buf = np.empty((batch_size,), np.int64)
+        self._paths_used = [str(p) for p in paths]
 
     @property
     def delivered_batches(self) -> int:
@@ -160,6 +228,31 @@ class ShardLoader:
         if rows == 0:
             raise StopIteration
         return self._buf[:rows].copy()
+
+    def next_batch_meta(self):
+        """(tokens, shard_idx, row_idx) — provenance arrays index the
+        loader's (post-process-slice) shard list, for sidecar joins."""
+        rows = self._lib.msl_next_batch_meta(
+            self._h,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._shard_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._row_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rows == 0:
+            raise StopIteration
+        return (
+            self._buf[:rows].copy(),
+            self._shard_buf[:rows].copy(),
+            self._row_buf[:rows].copy(),
+        )
+
+    def captioned(self) -> "Iterator":
+        """Yield (tokens, list[str]) batches by joining the `<shard>.captions`
+        sidecars (written by `write_shard(..., captions=)`)."""
+        store = CaptionStore(self._paths_used)
+        while True:
+            tokens, si, ri = self.next_batch_meta()
+            yield tokens, store.lookup(si, ri)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:

@@ -862,3 +862,90 @@ class MaskGitTrainer:
             log_fn(logs)
         wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")
+
+    def train_from_shards(
+        self,
+        token_paths,
+        *,
+        use_captions: bool = False,
+        loader_seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 2,
+        log_fn: Callable = lambda *a, **k: None,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        """Large-scale ids-path training straight from native token shards
+        (`examples/tokenize_dataset.py` output; `native/shard_loader.cpp`).
+
+        Text conditioning joins the `<shard>.captions` sidecars when
+        `use_captions=True` (host T5 encoding overlapped with the device step
+        via `prefetch`); otherwise training is unconditional — null text, the
+        pure-CFG-dropout regime.
+
+        The data stream resumes EXACTLY with `auto_resume`: every step
+        consumes `grad_accum_every` loader batches, so the resume token is
+        `steps * grad_accum_every` — no loader state file needed; the C++
+        loader replays the shuffle stream from the seed (bit-identical order
+        with num_threads=1, at-least-once with more).
+        """
+        from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
+        from muse_maskgit_pytorch_tpu.training.shard_loader import ShardLoader
+
+        transformer = self.maskgit_module().transformer
+        t5_name, text_dim = transformer.t5_name, transformer.text_embed_dim
+        loader = ShardLoader(
+            token_paths,
+            self.batch_size,
+            seed=loader_seed,
+            num_threads=num_threads,
+            drop_last=True,
+            process_index=process_index,
+            process_count=process_count,
+            skip_batches=self.steps * self.grad_accum_every,
+        )
+        cap_iter = loader.captioned() if use_captions else None
+
+        def accum_batches():
+            while True:
+                toks, tes, tms = [], [], []
+                max_len = 1
+                for _ in range(self.grad_accum_every):
+                    if use_captions:
+                        tokens, texts = next(cap_iter)
+                        te, tm = t5_encode_text_with_mask(texts, name=t5_name)
+                        te, tm = np.asarray(te), np.asarray(tm)
+                    else:
+                        tokens = loader.next_batch()
+                        te = np.zeros((tokens.shape[0], 1, text_dim), np.float32)
+                        tm = np.zeros((tokens.shape[0], 1), bool)
+                    toks.append(tokens.astype(np.int32))
+                    tes.append(te)
+                    tms.append(tm)
+                    max_len = max(max_len, te.shape[1])
+                for i in range(len(tes)):  # pad text lengths for stacking
+                    pad = max_len - tes[i].shape[1]
+                    if pad:
+                        tes[i] = np.pad(tes[i], ((0, 0), (0, pad), (0, 0)))
+                        tms[i] = np.pad(tms[i], ((0, 0), (0, pad)))
+                yield np.stack(toks), np.stack(tes), np.stack(tms)
+
+        batches = prefetch_iterator(accum_batches(), prefetch)
+        try:
+            while self.steps < self.num_train_steps:
+                tokens, tes, tms = next(batches)
+                logs = self.train_step_arrays(tokens, tes, tms)
+                self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
+                if (self.steps - 1) % self.save_model_every == 0:
+                    self.save()
+                if (
+                    exists(self.save_results_every)
+                    and (self.steps - 1) % self.save_results_every == 0
+                ):
+                    self.save_sample_results(self.steps - 1)
+                log_fn(logs)
+        finally:
+            batches.close()  # joins the prefetch thread BEFORE the native
+            loader.close()   # handle is freed (use-after-free otherwise)
+        wait_for_saves()  # drain any in-flight async checkpoint writes
+        self.print("training complete")

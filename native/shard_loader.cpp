@@ -28,6 +28,9 @@
 //   msl_epoch(h) -> zero-based shuffle epoch of the NEXT claim
 //   msl_next_batch(h, out_ptr) -> rows filled (0 on epoch end error; epochs
 //     auto-advance with a reshuffle, so it never returns 0 in practice)
+//   msl_next_batch_meta(h, out_ptr, out_shard, out_row) -> same + each
+//     row's (shard ordinal, row-in-shard) for joining sidecar metadata
+//     (captions) in Python
 //   msl_close(h)
 
 #include <algorithm>
@@ -88,6 +91,11 @@ struct Shard {
 
 struct Batch {
   std::vector<int32_t> tokens;
+  // provenance of each row (shard ordinal, row within shard): lets the
+  // Python side join sidecar per-sequence metadata (e.g. captions for
+  // text-conditioned training) without the C++ layer knowing about it
+  std::vector<int32_t> shard_idx;
+  std::vector<int64_t> row_idx;
   int rows = 0;
 };
 
@@ -135,8 +143,10 @@ class ShardLoader {
     return drop_last_ ? n / batch_size_ : (n + batch_size_ - 1) / batch_size_;
   }
 
-  // Blocks until a prefetched batch is ready; copies into out.
-  int next_batch(int32_t* out) {
+  // Blocks until a prefetched batch is ready; copies into out. out_shard /
+  // out_row (optional, length batch_size) receive each row's provenance.
+  int next_batch(int32_t* out, int32_t* out_shard = nullptr,
+                 int64_t* out_row = nullptr) {
     Batch b;
     {
       std::unique_lock<std::mutex> lk(q_mu_);
@@ -147,6 +157,8 @@ class ShardLoader {
     }
     q_cv_.notify_all();
     memcpy(out, b.tokens.data(), b.tokens.size() * 4);
+    if (out_shard) memcpy(out_shard, b.shard_idx.data(), b.rows * 4);
+    if (out_row) memcpy(out_row, b.row_idx.data(), b.rows * 8);
     delivered_.fetch_add(1);
     return b.rows;
   }
@@ -216,11 +228,15 @@ class ShardLoader {
       Batch b;
       b.rows = rows;
       b.tokens.assign(static_cast<size_t>(batch_size_) * L, 0);
+      b.shard_idx.resize(rows);
+      b.row_idx.resize(rows);
       for (int r = 0; r < rows; ++r) {
         auto [si, sj] = entries[r];
         const Shard& s = shards_[si];
         memcpy(b.tokens.data() + static_cast<size_t>(r) * L,
                s.data + sj * L, L * 4);
+        b.shard_idx[r] = si;
+        b.row_idx[r] = sj;
       }
       {
         std::lock_guard<std::mutex> lk(q_mu_);
@@ -281,6 +297,11 @@ int64_t msl_batches_per_epoch(void* h) {
 
 int msl_next_batch(void* h, int32_t* out) {
   return static_cast<ShardLoader*>(h)->next_batch(out);
+}
+
+int msl_next_batch_meta(void* h, int32_t* out, int32_t* out_shard,
+                        int64_t* out_row) {
+  return static_cast<ShardLoader*>(h)->next_batch(out, out_shard, out_row);
 }
 
 int64_t msl_delivered(void* h) {

@@ -143,3 +143,47 @@ def test_resume_across_epoch_boundary(tmp_path):
     for k in range(6, 10):
         np.testing.assert_array_equal(resumed.next_batch(), reference[k])
     resumed.close()
+
+
+def test_caption_sidecar_roundtrip_and_provenance(tmp_path):
+    """next_batch_meta provenance indexes the right rows; captioned() joins
+    the sidecar exactly (incl. unicode + embedded newlines)."""
+    rng = np.random.default_rng(2)
+    paths, all_tokens, all_caps = [], [], []
+    for s, n in enumerate([6, 5]):
+        tokens = rng.integers(0, 100, size=(n, 4), dtype=np.int32)
+        caps = [f"shard{s} row{r}\nsecond line é{r}" for r in range(n)]
+        p = tmp_path / f"s{s}.bin"
+        write_shard(p, tokens, captions=caps)
+        paths.append(p)
+        all_tokens.append(tokens)
+        all_caps.append(caps)
+    assert (tmp_path / "s0.bin.captions").exists()
+
+    dl = ShardLoader(paths, batch_size=3, seed=4, num_threads=1)
+    tokens, si, ri = dl.next_batch_meta()
+    for r in range(3):
+        np.testing.assert_array_equal(tokens[r], all_tokens[si[r]][ri[r]])
+    dl.close()
+
+    dl = ShardLoader(paths, batch_size=3, seed=4, num_threads=1)
+    it = dl.captioned()
+    seen = set()
+    for _ in range(3):  # one epoch (drop_last: 11 // 3)
+        toks, caps = next(it)
+        assert len(caps) == 3
+        for r, c in enumerate(caps):
+            s = 0 if c.startswith("shard0") else 1
+            row = int(c.split("row")[1].split("\n")[0])
+            np.testing.assert_array_equal(toks[r], all_tokens[s][row])
+            seen.add((s, row))
+    assert len(seen) == 9  # no duplicates within the epoch
+    dl.close()
+
+
+def test_caption_store_rejects_missing_sidecar(tmp_path):
+    write_shard(tmp_path / "s.bin", np.zeros((4, 4), np.int32))
+    from muse_maskgit_pytorch_tpu.training.shard_loader import CaptionStore
+
+    with pytest.raises(FileNotFoundError):
+        CaptionStore([tmp_path / "s.bin"])

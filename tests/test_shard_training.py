@@ -64,3 +64,64 @@ def test_tokenize_then_train_from_shards(tmp_path, rng):
         assert np.isfinite(logs["loss"])
     assert trainer.steps == 3
     loader.close()
+
+
+def _tiny_trainer(tmp_path, folder="r2", **kw):
+    return MaskGitTrainer(
+        MaskGit(
+            image_size=16,
+            transformer=MaskGitTransformer(
+                num_tokens=32, dim=32, seq_len=16, depth=1,
+                dim_head=16, heads=2, t5_name=TINY_T5, rngs=nnx.Rngs(0),
+            ),
+            vae=VQGanVAE(
+                dim=16, layers=2, codebook_size=32, use_vgg_and_gan=False,
+                rngs=nnx.Rngs(0),
+            ),
+        ),
+        num_train_steps=kw.pop("num_train_steps", 2),
+        batch_size=4,
+        results_folder=str(tmp_path / folder),
+        save_model_every=kw.pop("save_model_every", 10**9),
+        use_ema=False,
+        **kw,
+    )
+
+
+def test_train_from_shards_with_captions_and_resume(tmp_path, rng):
+    """End-to-end: captioned shards -> train_from_shards (text conditioning
+    through the fast ids path), then auto-resume continues BOTH the train
+    state and the data stream (skip = steps * grad_accum_every)."""
+    tokens = np.asarray(jax.random.randint(rng, (10, 16), 0, 32), np.int32)
+    caps = [f"caption number {i}" for i in range(10)]
+    shard = tmp_path / "tok.bin"
+    write_shard(shard, tokens, captions=caps)
+
+    folder = tmp_path / "run"
+    t1 = _tiny_trainer(tmp_path, folder="run", num_train_steps=2, save_model_every=1)
+    losses = []
+    t1.train_from_shards(
+        [shard], use_captions=True, loader_seed=9, num_threads=1,
+        log_fn=lambda logs: losses.append(logs["loss"]),
+    )
+    assert t1.steps == 2 and len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)
+
+    # crash/restart: a fresh trainer on the same folder resumes at step 2 and
+    # trains the remaining steps from the CONTINUED shuffle stream
+    t2 = _tiny_trainer(
+        tmp_path, folder="run", num_train_steps=4, save_model_every=10**9,
+        auto_resume=True,
+    )
+    assert t2.steps == 2
+    t2.train_from_shards([shard], use_captions=True, loader_seed=9, num_threads=1)
+    assert t2.steps == 4
+
+
+def test_train_from_shards_unconditional(tmp_path, rng):
+    tokens = np.asarray(jax.random.randint(rng, (8, 16), 0, 32), np.int32)
+    shard = tmp_path / "tok_nocap.bin"
+    write_shard(shard, tokens)
+    t = _tiny_trainer(tmp_path, folder="run-uncond", num_train_steps=2)
+    t.train_from_shards([shard], use_captions=False, num_threads=1)
+    assert t.steps == 2
