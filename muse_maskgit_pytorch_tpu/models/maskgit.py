@@ -155,6 +155,8 @@ class MaskGit(nnx.Module):
         injected_gumbel_noise: Optional[Array] = None,
         progress: bool = False,
         compact: Union[bool, str] = "auto",
+        known_token_ids: Optional[Array] = None,
+        known_mask: Optional[Array] = None,
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted.
 
@@ -169,7 +171,18 @@ class MaskGit(nnx.Module):
         Token-exact vs the full path (tests/test_compact_decode.py);
         ~+10% img/s at the reference scale on v5e. Auto-disabled when
         `can_remask_prev_masked` needs real confidences at unmasked
-        positions without a critic."""
+        positions without a critic.
+
+        `known_token_ids` + `known_mask` (token grid (b, f, f) or flat
+        (b, seq), mask True = KEEP the source token): editing / inpainting
+        mode (Muse paper §3 "Inpainting and Editing"). Known positions seed
+        the decode with the source tokens, are never remasked, and the mask
+        schedule runs over each row's editable count. Requires
+        noise_schedule(0) == 1 (both shipped schedules) so step 0 refills
+        the whole edit region; compact decode is auto-disabled (per-row
+        editable counts are data-dependent, compact segments are static).
+        Most callers want the `edit()` wrapper, which handles image
+        encoding and pixel→token mask downsampling."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         fmap_size = default(
             fmap_size,
@@ -219,6 +232,18 @@ class MaskGit(nnx.Module):
                 else "xla"
             )
 
+        if known_mask is not None:
+            assert known_token_ids is not None, (
+                "editing mode needs both known_token_ids and known_mask"
+            )
+            # step 0 must be able to refill the whole edit region, otherwise
+            # leftover mask_id positions get -1e5 scores, are never resampled,
+            # and the out-of-codebook mask_id flows into vae.decode_from_ids
+            assert float(self.noise_schedule(jnp.zeros(()))) >= 1.0, (
+                "editing requires noise_schedule(0) == 1 (full remask at step 0)"
+            )
+            compact = False
+
         if compact == "auto":
             # compact decode is exact unless unmasked positions need real
             # confidence scores (can_remask with the default scorer); the
@@ -256,6 +281,8 @@ class MaskGit(nnx.Module):
             cond_ids,
             rng,
             injected_gumbel_noise,
+            known_token_ids,
+            known_mask,
             fmap_size=fmap_size,
             temperature=temperature,
             topk_filter_thres=topk_filter_thres,
@@ -272,6 +299,77 @@ class MaskGit(nnx.Module):
         if return_ids or not exists(self.vae):
             return ids
         return images
+
+    # -- editing / inpainting (Muse paper §3; MaskGit paper §4.2-4.3) ---------
+
+    def edit(
+        self,
+        images: Array,
+        edit_mask: Array,
+        texts: Optional[Union[str, List[str]]] = None,
+        rng: Optional[Array] = None,
+        **generate_kwargs,
+    ) -> Array:
+        """Regenerate only the masked region of `images`, conditioned on the
+        text AND the kept source tokens (inpainting; mask the border for
+        outpainting; mask everything that should change for mask-free
+        editing at a region level).
+
+        `images`: (b, H, W, 3) in [0, 1] at this stage's `image_size`.
+        `edit_mask`: True = REGENERATE. Either pixel-level (b, H, W) — any
+        token whose patch overlaps the region is regenerated — or
+        token-level (b, f, f) on the VAE's latent grid.
+
+        The reference has no editing path (generate always starts from a
+        fully masked canvas, muse_maskgit_pytorch.py:507-520); this is the
+        capability the Muse paper demonstrates in §3 "Inpainting and
+        Editing", expressed over the same decode loop: known tokens seed
+        the canvas and are score-pinned so remasking never touches them.
+        Accepts every `generate()` knob (cond_scale, critic, sampler, ...).
+        """
+        assert exists(self.vae), "editing needs the vae to tokenize the source image"
+        chex.assert_rank(images, 4)
+        assert images.shape[1] == images.shape[2] == self.image_size
+        fmap_size = self.vae.get_encoded_fmap_size(self.image_size)
+
+        _, ids, _ = self.vae.encode(jax.lax.stop_gradient(images), train=False)
+        ids = ids.reshape(ids.shape[0], fmap_size, fmap_size)
+
+        edit_mask = jnp.asarray(edit_mask)
+        if edit_mask.dtype != jnp.bool_:
+            edit_mask = edit_mask > 0.5
+        if edit_mask.shape[1:] == (self.image_size, self.image_size):
+            patch = self.image_size // fmap_size
+            edit_mask = jnp.any(
+                edit_mask.reshape(
+                    edit_mask.shape[0], fmap_size, patch, fmap_size, patch
+                ),
+                axis=(2, 4),
+            )
+        assert edit_mask.shape[1:] == (fmap_size, fmap_size), (
+            f"edit_mask must be (b, {self.image_size}, {self.image_size}) "
+            f"pixel-level or (b, {fmap_size}, {fmap_size}) token-level, "
+            f"got {edit_mask.shape}"
+        )
+
+        # super-res stage: condition on the low-res image as usual (callers
+        # without an explicit cond image get the source image downsized,
+        # same auto-resize contract as training, reference :649-650)
+        if self.resize_image_for_cond_image and "cond_images" not in generate_kwargs:
+            generate_kwargs["cond_images"] = jax.image.resize(
+                images,
+                (images.shape[0], self.cond_image_size, self.cond_image_size, images.shape[-1]),
+                method="nearest",
+            )
+
+        return self.generate(
+            texts=texts,
+            rng=rng,
+            known_token_ids=ids,
+            known_mask=~edit_mask,
+            fmap_size=fmap_size,
+            **generate_kwargs,
+        )
 
     # -- training objective (reference :623-741) -------------------------------
 
@@ -527,6 +625,8 @@ def _generate_jit(
     cond_ids,
     rng,
     injected_gumbel_noise,
+    known_ids=None,
+    known_mask=None,
     *,
     fmap_size,
     temperature,
@@ -607,8 +707,25 @@ def _generate_jit(
                 if cond_scale != 1:
                     critic_ctx_kv = _double_ctx_kv(critic_ctx_kv)
 
-    ids0 = jnp.full((batch, seq_len), mask_id, jnp.int32)
-    scores0 = jnp.zeros((batch, seq_len), jnp.float32)
+    # editing / inpainting (Muse paper §3 "Inpainting and Editing", MaskGit
+    # paper §4.2-4.3): positions marked known start from the source tokens,
+    # are never remasked (scores pinned to -1e5 so rank selection skips
+    # them), and every step's mask budget scales with each row's EDITABLE
+    # count instead of seq_len — the schedule runs over the edit region only
+    has_known = known_mask is not None
+    assert not (has_known and segments is not None), (
+        "compact decode is incompatible with editing (per-row editable "
+        "counts are data-dependent; generate() forces compact=False)"
+    )
+    if has_known:
+        known_mask = known_mask.reshape(batch, seq_len)
+        known_ids = known_ids.reshape(batch, seq_len).astype(jnp.int32)
+        ids0 = jnp.where(known_mask, known_ids, mask_id)
+        scores0 = jnp.where(known_mask, -1e5, 0.0).astype(jnp.float32)
+        n_editable = jnp.sum(~known_mask, axis=-1).astype(jnp.int32)  # (b,)
+    else:
+        ids0 = jnp.full((batch, seq_len), mask_id, jnp.int32)
+        scores0 = jnp.zeros((batch, seq_len), jnp.float32)
     self_cond0 = jnp.zeros((batch, seq_len, transformer.dim), transformer.dtype)
 
     step_keys = jax.random.split(rng, timesteps)
@@ -656,9 +773,20 @@ def _generate_jit(
         ).astype(jnp.int32)
 
         if kb is None:
+            if has_known:
+                # edit mode: per-row budget over the editable region only
+                # (0 for rows with nothing to edit — those pass through)
+                budgets = jnp.minimum(
+                    jnp.maximum(
+                        jnp.floor(rand_mask_prob * n_editable), 1
+                    ).astype(jnp.int32),
+                    n_editable,
+                )
+            else:
+                budgets = jnp.full((batch,), num_token_masked)
             # remask the least-confident (highest-score) positions (:561-563),
             # via static-shape rank thresholding instead of dynamic-k topk
-            remask = mask_by_topk_scores(scores, jnp.full((batch,), num_token_masked))
+            remask = mask_by_topk_scores(scores, budgets)
             x_in = jnp.where(remask, mask_id, ids)
             npos = seq_len
             gather_pos = None
@@ -797,6 +925,12 @@ def _generate_jit(
                 )
                 new_scores = jnp.where(remask, 1.0 - prob_at_pos, -1e5)
 
+        if has_known:
+            # known (source) positions stay un-remaskable through every
+            # scoring path (the critic scores the full sequence, and
+            # can_remask_prev_masked deliberately skips the -1e5 pinning)
+            new_scores = jnp.where(known_mask, -1e5, new_scores)
+
         return (ids_out, new_scores, new_self_cond), None
 
     carry = (ids0, scores0, self_cond0)
@@ -883,3 +1017,83 @@ class Muse(nnx.Module):
         if not return_lowres:
             return superres_image
         return superres_image, lowres_image
+
+    def edit(
+        self,
+        images: Array,
+        edit_mask: Array,
+        texts: List[str],
+        rng: Optional[Array] = None,
+        cond_scale: float = 3.0,
+        temperature: float = 1.0,
+        timesteps: int = 18,
+        superres_timesteps: Optional[int] = None,
+        return_pil_images: bool = True,
+        attn_impl: str = "auto",
+    ):
+        """Cascade editing (Muse paper §3): edit the region at the base
+        resolution, then edit the SAME region of the original high-res image
+        with the edited low-res result as super-res conditioning — tokens
+        outside the region keep the source image's detail at both stages.
+
+        `images`: (b, H, W, 3) at the super-res stage's image_size.
+        `edit_mask`: True = regenerate; pixel-level (b, H, W) at super-res
+        resolution (downsampled per stage) or token-level per-stage masks
+        are NOT accepted here — use the per-stage `MaskGit.edit` for that.
+        """
+        rng = default(rng, lambda: jax.random.PRNGKey(0))
+        k_base, k_sr = jax.random.split(rng)
+        sr = self.superres_maskgit
+        base = self.base_maskgit
+        assert images.shape[1] == images.shape[2] == sr.image_size
+
+        edit_mask = jnp.asarray(edit_mask)
+        if edit_mask.dtype != jnp.bool_:
+            edit_mask = edit_mask > 0.5
+        chex.assert_rank(edit_mask, 3)
+        assert edit_mask.shape[1:] == (sr.image_size, sr.image_size)
+
+        lowres_src = jax.image.resize(
+            images,
+            (images.shape[0], base.image_size, base.image_size, images.shape[-1]),
+            method="nearest",
+        )
+        # a base-resolution pixel is edited if any high-res pixel it covers is
+        ratio = sr.image_size // base.image_size
+        lowres_mask = jnp.any(
+            edit_mask.reshape(
+                edit_mask.shape[0], base.image_size, ratio, base.image_size, ratio
+            ),
+            axis=(2, 4),
+        )
+
+        lowres_edited = base.edit(
+            lowres_src,
+            lowres_mask,
+            texts=texts,
+            rng=k_base,
+            cond_scale=cond_scale,
+            temperature=temperature,
+            timesteps=timesteps,
+            attn_impl=attn_impl,
+        )
+        lowres_edited = jnp.clip(lowres_edited, 0.0, 1.0)
+
+        superres_image = sr.edit(
+            images,
+            edit_mask,
+            texts=texts,
+            rng=k_sr,
+            cond_scale=cond_scale,
+            cond_images=lowres_edited,
+            temperature=temperature,
+            timesteps=default(superres_timesteps, timesteps),
+            attn_impl=attn_impl,
+        )
+        superres_image = jnp.clip(superres_image, 0.0, 1.0)
+
+        if return_pil_images:
+            from muse_maskgit_pytorch_tpu.training.data import to_pil_images
+
+            return to_pil_images(superres_image)
+        return superres_image

@@ -1,0 +1,171 @@
+"""Editing / inpainting / outpainting (Muse paper §3 "Inpainting and
+Editing"; MaskGit paper §4.2-4.3). The reference has no editing path — its
+generate always starts from a fully masked canvas
+(muse_maskgit_pytorch.py:507-520) — so these tests pin OUR contract:
+known tokens are frozen through every scoring path, a full edit mask is
+token-exact with plain generate, and the schedule runs per-row over the
+editable count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from muse_maskgit_pytorch_tpu.models.maskgit import Muse
+
+from tests.test_maskgit import (
+    CODEBOOK,
+    base_maskgit,
+    superres_maskgit,
+    text_embeds_for,
+)
+
+
+def _source_ids(mg, images):
+    _, ids, _ = mg.vae.encode(images, train=False)
+    return np.asarray(ids.reshape(ids.shape[0], -1))
+
+
+def _edit_ids(mg, images, mask, rng, te, **kw):
+    out = mg.edit(
+        images, mask, text_embeds=te, rng=rng, timesteps=3, return_ids=True, **kw
+    )
+    return np.asarray(out.reshape(out.shape[0], -1))
+
+
+def test_edit_preserves_known_tokens(rng):
+    mg = base_maskgit()
+    images = jax.random.uniform(rng, (2, 16, 16, 3))
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 4, 4), bool)
+    mask[:, :2, :] = True  # regenerate the top half
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    keep = ~mask.reshape(2, -1)
+    assert (out[keep] == src[keep]).all()
+    assert (out >= 0).all() and (out < CODEBOOK).all()  # no mask_id leak
+
+
+def test_edit_full_mask_matches_generate(rng):
+    # editing with everything masked IS generate: same rng stream, same
+    # decode bodies (edit forces compact off, so compare vs compact=False)
+    mg = base_maskgit()
+    images = jax.random.uniform(rng, (2, 16, 16, 3))
+    te = text_embeds_for(2, rng)
+    mask = jnp.ones((2, 4, 4), bool)
+    out = _edit_ids(mg, images, mask, rng, te)
+    ref = mg.generate(
+        text_embeds=te, rng=rng, timesteps=3, return_ids=True, compact=False
+    )
+    assert (out == np.asarray(ref.reshape(2, -1))).all()
+
+
+def test_edit_empty_mask_returns_source(rng):
+    mg = base_maskgit()
+    images = jax.random.uniform(rng, (2, 16, 16, 3))
+    te = text_embeds_for(2, rng)
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.zeros((2, 4, 4), bool), rng, te)
+    assert (out == src).all()
+
+
+def test_edit_per_row_varying_region(rng):
+    # per-row budgets: row 0 regenerates everything, row 1 nothing
+    mg = base_maskgit()
+    images = jax.random.uniform(rng, (2, 16, 16, 3))
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 4, 4), bool)
+    mask[0] = True
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    assert (out[1] == src[1]).all()
+    assert (out >= 0).all() and (out < CODEBOOK).all()
+
+
+def test_edit_pixel_mask_downsamples_to_token_grid(rng):
+    # a 16px image over a 4x4 token grid: masking the top-left 8x8 pixels
+    # must regenerate ONLY the top-left 2x2 tokens
+    mg = base_maskgit()
+    images = jax.random.uniform(rng, (1, 16, 16, 3))
+    te = text_embeds_for(1, rng)
+    pixel_mask = np.zeros((1, 16, 16), bool)
+    pixel_mask[:, :8, :8] = True
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.asarray(pixel_mask), rng, te)
+    token_mask = np.zeros((1, 4, 4), bool)
+    token_mask[:, :2, :2] = True
+    keep = ~token_mask.reshape(1, -1)
+    assert (out[keep] == src[keep]).all()
+
+
+def test_edit_known_frozen_under_critic_and_can_remask(rng):
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 4, 4), bool)
+    mask[:, :, :2] = True
+    keep = ~mask.reshape(2, -1)
+
+    # self token critic scores the FULL sequence each step — known positions
+    # must stay pinned regardless of their critic scores
+    mg = base_maskgit(self_token_critic=True, rngs=nnx.Rngs(0))
+    images = jax.random.uniform(rng, (2, 16, 16, 3))
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    assert (out[keep] == src[keep]).all()
+
+    # can_remask_prev_masked skips the -1e5 confidence pinning for refilled
+    # positions — known positions still must never be remasked
+    mg2 = base_maskgit(no_mask_token_prob=0.25)
+    src2 = _source_ids(mg2, images)
+    out2 = _edit_ids(
+        mg2, images, jnp.asarray(mask), rng, te, can_remask_prev_masked=True
+    )
+    assert (out2[keep] == src2[keep]).all()
+
+
+def test_superres_edit_auto_cond(rng):
+    # super-res editing without explicit cond images auto-resizes the source
+    mg = superres_maskgit()
+    images = jax.random.uniform(rng, (2, 32, 32, 3))
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 8, 8), bool)
+    mask[:, 4:, 4:] = True
+    src = _source_ids(mg, images)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    keep = ~mask.reshape(2, -1)
+    assert (out[keep] == src[keep]).all()
+
+
+def test_muse_cascade_edit(rng):
+    muse = Muse(base_maskgit(), superres_maskgit())
+    images = jax.random.uniform(rng, (2, 32, 32, 3))
+    pixel_mask = np.zeros((2, 32, 32), bool)
+    pixel_mask[:, 16:, 16:] = True
+    out = muse.edit(
+        images,
+        jnp.asarray(pixel_mask),
+        ["a cat", "a dog"],
+        rng=rng,
+        timesteps=2,
+        return_pil_images=False,
+    )
+    assert out.shape == (2, 32, 32, 3)
+    assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 1
+
+    pil = muse.edit(
+        images, jnp.asarray(pixel_mask), ["a cat", "a dog"], rng=rng, timesteps=2
+    )
+    assert pil[0].size == (32, 32)
+
+
+def test_edit_rejects_bad_schedule(rng):
+    # a schedule with schedule(0) < 1 cannot refill the edit region at step 0
+    mg = base_maskgit(noise_schedule=lambda t: 0.5 * jnp.cos(t * jnp.pi / 2))
+    images = jax.random.uniform(rng, (1, 16, 16, 3))
+    with pytest.raises(AssertionError, match="noise_schedule"):
+        mg.edit(
+            images,
+            jnp.ones((1, 4, 4), bool),
+            text_embeds=text_embeds_for(1, rng),
+            rng=rng,
+        )
