@@ -1,0 +1,271 @@
+"""HTTP serving frontend with dynamic batching.
+
+`GenerateServer` turns a `GeneratePipeline` into a network service the way a
+TPU wants to be fed: ONE worker thread owns the device and always submits the
+pipeline's fixed `batch_size` (XLA compiles one program per shape — variable
+batches would recompile), while a request-coalescing queue fills each batch
+from however many concurrent HTTP requests are in flight. A lone request
+waits at most `max_wait_ms` for companions before the batch is padded out
+and dispatched, so latency is bounded and throughput under load approaches
+the pipeline's measured img/s.
+
+The reference has no serving story at all (its generate is a host python
+loop, /root/reference/muse_maskgit_pytorch/muse_maskgit_pytorch.py:507-609);
+this is the deployment layer a production text->image system needs, built on
+the stdlib only (http.server) so it runs anywhere the framework does.
+
+Endpoints:
+  POST /generate   {"prompts": ["a cat", ...]}       -> {"images": [b64 PNG]}
+  GET  /healthz    liveness + warmup state + batching stats
+  GET  /stats      rolling service counters
+
+Usage:
+    pipe = GeneratePipeline(model, batch_size=16)
+    server = GenerateServer(pipe, port=8000)
+    server.start()          # returns immediately; serves until .stop()
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+
+class _Pending:
+    """One enqueued prompt and the slot its image lands in."""
+
+    __slots__ = ("prompt", "event", "image", "error")
+
+    def __init__(self, prompt: str):
+        self.prompt = prompt
+        self.event = threading.Event()
+        self.image: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Coalesces individual prompts into fixed-size device batches.
+
+    A single worker thread drains the queue: it waits up to `max_wait_ms`
+    for the batch to fill, then dispatches whatever it has (padded to the
+    pipeline's batch_size with empty prompts — the compiled program shape
+    never changes). All device work happens on this one thread; HTTP handler
+    threads only enqueue and wait, so concurrent requests never contend for
+    the TPU or trigger duplicate compilations.
+    """
+
+    def __init__(self, pipeline, max_wait_ms: float = 50.0):
+        self.pipeline = pipeline
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {
+            "batches": 0,
+            "images": 0,
+            "coalesced_batches": 0,  # batches serving >1 request
+            "batch_fill_sum": 0,  # real prompts per batch, for fill-rate
+        }
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, prompts: List[str]) -> List[_Pending]:
+        pendings = [_Pending(p) for p in prompts]
+        for p in pendings:
+            self._queue.put(p)
+        return pendings
+
+    def _collect(self) -> List[_Pending]:
+        """Block for the first prompt, then fill the batch for max_wait."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        size = self.pipeline.batch_size
+        while len(batch) < size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # batch is going out — but never leave ready work behind
+                try:
+                    batch.append(self._queue.get_nowait())
+                    continue
+                except queue.Empty:
+                    break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                images = self.pipeline(
+                    [p.prompt for p in batch]
+                )  # pipeline pads to batch_size itself
+                if self.pipeline.return_pil:
+                    images = [np.asarray(im) for im in images]
+                for p, im in zip(batch, images):
+                    p.image = np.asarray(im)
+            except BaseException as e:  # propagate to every waiter
+                for p in batch:
+                    p.error = e
+            finally:
+                self.stats["batches"] += 1
+                self.stats["images"] += len(batch)
+                self.stats["batch_fill_sum"] += len(batch)
+                if len(batch) > 1:
+                    self.stats["coalesced_batches"] += 1
+                for p in batch:
+                    p.event.set()
+
+
+def _png_b64(image: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class GenerateServer:
+    """Threaded HTTP server over a `GeneratePipeline` (see module docstring)."""
+
+    def __init__(
+        self,
+        pipeline,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_wait_ms: float = 50.0,
+        request_timeout_s: float = 600.0,
+        warmup: bool = False,
+    ):
+        self.pipeline = pipeline
+        self.batcher = DynamicBatcher(pipeline, max_wait_ms=max_wait_ms)
+        self.request_timeout_s = request_timeout_s
+        self._warm = False
+        self._warmup_on_start = warmup
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self._serve_thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self):
+        if self._warmup_on_start:
+            self.pipeline.warmup()
+            self._warm = True
+        self.batcher.start()
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._serve_thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self.batcher.stop()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=10)
+
+    # -- request handling -------------------------------------------------
+
+    def _generate(self, prompts: List[str]) -> List[str]:
+        pendings = self.batcher.submit(prompts)
+        images = []
+        for p in pendings:
+            if not p.event.wait(timeout=self.request_timeout_s):
+                raise TimeoutError(
+                    f"generation timed out after {self.request_timeout_s}s "
+                    "(cold compile in progress? warm the server first)"
+                )
+            if p.error is not None:
+                raise p.error
+            images.append(_png_b64(p.image))
+        self._warm = True
+        return images
+
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # request handling must never die silently on a broken client
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(
+                        200,
+                        {
+                            "ok": True,
+                            "warm": server._warm,
+                            "batch_size": server.pipeline.batch_size,
+                        },
+                    )
+                elif self.path == "/stats":
+                    stats = dict(server.batcher.stats)
+                    if stats["batches"]:
+                        stats["avg_batch_fill"] = (
+                            stats["batch_fill_sum"] / stats["batches"]
+                        )
+                    stats["pipeline"] = dict(server.pipeline.stats)
+                    self._reply(200, stats)
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._reply(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    prompts = req.get("prompts")
+                    if isinstance(prompts, str):
+                        prompts = [prompts]
+                    if not prompts or not all(isinstance(p, str) for p in prompts):
+                        self._reply(
+                            400, {"error": 'body must be {"prompts": ["...", ...]}'}
+                        )
+                        return
+                    images = server._generate(prompts)
+                    self._reply(200, {"images": images})
+                except TimeoutError as e:
+                    self._reply(503, {"error": str(e)})
+                except BrokenPipeError:
+                    pass  # client went away mid-reply
+                except Exception as e:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler

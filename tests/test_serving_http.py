@@ -1,0 +1,137 @@
+"""HTTP serving frontend: dynamic batching, endpoints, error paths.
+
+Drives a real ThreadingHTTPServer on an ephemeral port with a tiny model on
+the CPU mesh; concurrent requests must coalesce into one fixed-shape device
+batch (the TPU-shaped property the layer exists for)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from muse_maskgit_pytorch_tpu.serving import GeneratePipeline
+from muse_maskgit_pytorch_tpu.serving_http import DynamicBatcher, GenerateServer
+
+from tests.test_serving import _maskgit
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=4, timesteps=2, text_len=16, compile_cache=False
+    )
+    # warmup=True compiles the fixed-shape program before serving — the
+    # first cold request otherwise eats the whole compile inside its timeout
+    srv = GenerateServer(
+        pipe, port=0, max_wait_ms=150.0, request_timeout_s=300.0, warmup=True
+    )
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, payload, path="/generate"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=30
+    ) as r:
+        return r.status, json.loads(r.read())
+
+
+def _decode_png(b64):
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+
+
+def test_generate_endpoint(server):
+    status, out = _post(server.port, {"prompts": ["a cat", "a dog"]})
+    assert status == 200
+    assert len(out["images"]) == 2
+    img = _decode_png(out["images"][0])
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+
+
+def test_healthz_and_stats(server):
+    status, health = _get(server.port, "/healthz")
+    assert status == 200 and health["ok"] and health["batch_size"] == 4
+    _post(server.port, {"prompts": "one string is accepted"})
+    status, stats = _get(server.port, "/stats")
+    assert status == 200
+    assert stats["images"] >= 1 and stats["batches"] >= 1
+    assert "pipeline" in stats
+
+
+def test_concurrent_requests_coalesce(server):
+    """The defining property: N concurrent 1-prompt requests share device
+    batches instead of each paying a full fixed-shape generate."""
+    before = dict(server.batcher.stats)
+    results = [None] * 4
+    errors = []
+
+    def one(i):
+        try:
+            results[i] = _post(server.port, {"prompts": [f"prompt {i}"]})
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert all(r is not None and r[0] == 200 for r in results)
+    delta_images = server.batcher.stats["images"] - before["images"]
+    delta_batches = server.batcher.stats["batches"] - before["batches"]
+    assert delta_images == 4
+    # 4 requests, batch_size 4, 150 ms window: strictly fewer batches than
+    # requests proves coalescing (usually 1, at most 3 under scheduler noise)
+    assert delta_batches < 4
+    assert server.batcher.stats["coalesced_batches"] >= 1
+
+
+def test_bad_requests(server):
+    status, out = _post(server.port, {"prompts": []})
+    assert status == 400
+    status, out = _post(server.port, {"nope": 1})
+    assert status == 400
+    status, out = _post(server.port, {"prompts": ["x"]}, path="/other")
+    assert status == 404
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(f"http://127.0.0.1:{server.port}/missing", timeout=10)
+
+
+def test_batcher_propagates_worker_errors():
+    class Boom:
+        batch_size = 2
+        return_pil = False
+
+        def __call__(self, prompts):
+            raise RuntimeError("device on fire")
+
+    b = DynamicBatcher(Boom(), max_wait_ms=10.0)
+    b.start()
+    try:
+        (p,) = b.submit(["x"])
+        assert p.event.wait(timeout=10)
+        assert isinstance(p.error, RuntimeError)
+    finally:
+        b.stop()
