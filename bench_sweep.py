@@ -441,6 +441,59 @@ def exp_gan_step():
     arm(jnp.bfloat16, 8)  # f32 OOMs here on one v5e (r2, BASELINE.md)
 
 
+def exp_edit():
+    """Drive the editing/inpainting path at bench scale on real TPU: verify
+    the per-row-budget decode + fused sampler compile and run under Mosaic,
+    known tokens survive the round trip, and measure the edit img/s vs plain
+    generate (edit runs the full-sequence decode body — compact's static
+    segment counts don't apply to data-dependent editable regions).
+    Run: python bench_sweep.py edit"""
+    import numpy as np
+
+    batch, size = 32, 256
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    mg = build(256, size, vae=vae)
+    te = jax.random.normal(jax.random.PRNGKey(0), (batch, 64, 768), jnp.float32)
+    tm = jnp.ones((batch, 64), bool)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch, size, size, 3))
+
+    # regenerate the center half of the token grid (outpainting-style border keep)
+    mask = np.zeros((batch, 16, 16), bool)
+    mask[:, 4:12, 4:12] = True
+    mask = jnp.asarray(mask)
+
+    def run_edit(key):
+        return mg.edit(
+            images, mask, text_embeds=te, text_mask=tm, rng=key,
+            timesteps=18, cond_scale=3.0, return_ids=True,
+        )
+
+    log("compiling edit program...")
+    t0 = time.perf_counter()
+    out = run_edit(jax.random.PRNGKey(9))
+    out_np = np.asarray(out).reshape(batch, -1)
+    log(f"first call {time.perf_counter() - t0:.1f}s")
+
+    _, src, _ = mg.vae.encode(images, train=False)
+    src = np.asarray(src).reshape(batch, -1)
+    keep = ~np.asarray(mask).reshape(batch, -1)
+    assert (out_np[keep] == src[keep]).all(), "known tokens changed on TPU!"
+    assert out_np.max() < 65536, "mask_id leak"
+    log("known-token preservation verified on TPU")
+
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = run_edit(jax.random.PRNGKey(i))
+        _ = float(out.sum())
+    dt = (time.perf_counter() - t0) / n
+    log(f"edit (192/256 tokens regenerated): {batch / dt:.2f} img/s ({dt * 1000:.0f} ms/batch)")
+
+    for compact in (True, False):
+        ips, _ = time_generate(mg, batch, compact=compact)
+        log(f"generate compact={compact}: {ips:.2f} img/s (reference arm)")
+
+
 def main():
     vae = VQGanVAE(dim=128, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
 
@@ -497,5 +550,7 @@ if __name__ == "__main__":
         exp_train_mfu()
     elif cmd == "ganstep":
         exp_gan_step()
+    elif cmd == "edit":
+        exp_edit()
     else:
         main()

@@ -23,6 +23,13 @@ from muse_maskgit_pytorch_tpu.serving import (
     export_pipeline,
     load_exported_pipeline,
 )
+from muse_maskgit_pytorch_tpu.serving_http import GenerateServer
+from muse_maskgit_pytorch_tpu.utils.eval import (
+    FeatureStats,
+    compute_feature_stats,
+    fid_score,
+    frechet_distance,
+)
 
 __version__ = "0.1.0"
 
@@ -42,4 +49,9 @@ __all__ = [
     "ExportedPipeline",
     "export_pipeline",
     "load_exported_pipeline",
+    "GenerateServer",
+    "FeatureStats",
+    "compute_feature_stats",
+    "fid_score",
+    "frechet_distance",
 ]
