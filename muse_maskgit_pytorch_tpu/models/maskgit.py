@@ -295,6 +295,7 @@ class MaskGit(nnx.Module):
             sampler=sampler,
             progress=progress,
             segments=segments,
+            decode_images=not return_ids and exists(self.vae),
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -614,6 +615,7 @@ def _double_ctx_kv(ctx_kv):
         "sampler",
         "progress",
         "segments",
+        "decode_images",
     ),
 )
 def _generate_jit(
@@ -640,6 +642,7 @@ def _generate_jit(
     sampler="xla",
     progress=False,
     segments=None,
+    decode_images=True,
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -951,9 +954,13 @@ def _generate_jit(
         (ids, _, _), _ = jax.lax.scan(step, carry, xs_all)
 
     ids = ids.reshape(batch, fmap_size, fmap_size)
-    if exists(model.vae):
+    if decode_images and exists(model.vae):
         images = model.vae.decode_from_ids(ids)
     else:
+        # ids-only callers (return_ids=True: token pipelines, edit scoring,
+        # parity tests) skip the VAE decode entirely — it is a returned
+        # output, so XLA would otherwise have to compute it (~2 ms/img at
+        # the reference dim-256 scale) just to be discarded on the host
         images = jnp.zeros((batch, 1, 1, 1))
     return ids, images
 
