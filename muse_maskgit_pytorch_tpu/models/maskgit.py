@@ -147,7 +147,7 @@ class MaskGit(nnx.Module):
         can_remask_prev_masked: bool = False,
         force_not_use_token_critic: bool = False,
         timesteps: int = 18,  # ideal number of steps is 18 (maskgit paper)
-        cond_scale: float = 3.0,
+        cond_scale: Union[float, tuple] = 3.0,
         critic_noise_scale: float = 1.0,
         return_ids: bool = False,
         attn_impl: str = "auto",
@@ -182,7 +182,13 @@ class MaskGit(nnx.Module):
         the whole edit region; compact decode is auto-disabled (per-row
         editable counts are data-dependent, compact segments are static).
         Most callers want the `edit()` wrapper, which handles image
-        encoding and pixel→token mask downsampling."""
+        encoding and pixel→token mask downsampling.
+
+        `cond_scale`: a float (constant guidance, reference behavior) or a
+        (start, end) tuple — the guidance scale then ramps linearly across
+        the decode steps (Muse paper §2.5: low guidance early preserves
+        sample diversity, high guidance late sharpens text alignment). A
+        (c, c) tuple is token-exact with the float c."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         fmap_size = default(
             fmap_size,
@@ -651,6 +657,23 @@ def _generate_jit(
     batch = text_embeds.shape[0]
     seq_len = fmap_size * fmap_size
 
+    # guidance-scale schedule (Muse paper §2.5: "linearly increase the
+    # guidance scale through the decode" — low guidance early for diversity,
+    # high late for text alignment; absent from the reference). A (start,
+    # end) tuple produces a per-step traced scale riding the scan's xs (the
+    # fused sampler takes it via scalar prefetch — one compiled kernel for
+    # all steps); a plain float reproduces the constant-scale behavior
+    # bit-exactly. The doubled-batch CFG structure is a STATIC decision:
+    # scheduled guidance always runs doubled.
+    scheduled = isinstance(cond_scale, tuple)
+    cfg_on = scheduled or cond_scale != 1
+    if scheduled:
+        scale_per_step = jnp.linspace(
+            float(cond_scale[0]), float(cond_scale[1]), timesteps
+        )
+    else:
+        scale_per_step = jnp.full((timesteps,), float(cond_scale), jnp.float32)
+
     if exists(neg_text_embeds):
         # the two CFG halves have DIFFERENT contexts here (pos vs neg text),
         # so the per-layer K/V cache carries both, pos rows then neg rows —
@@ -677,7 +700,7 @@ def _generate_jit(
         ctx_kv = transformer.precompute_context_kv(
             text_embeds=text_embeds, conditioning_token_ids=cond_ids
         )
-        if cond_scale != 1:
+        if cfg_on:
             ctx_kv = _double_ctx_kv(ctx_kv)
 
     if use_token_critic:
@@ -707,7 +730,7 @@ def _generate_jit(
                 critic_ctx_kv = critic.precompute_context_kv(
                     text_embeds=text_embeds, conditioning_token_ids=cond_ids
                 )
-                if cond_scale != 1:
+                if cfg_on:
                     critic_ctx_kv = _double_ctx_kv(critic_ctx_kv)
 
     # editing / inpainting (Muse paper §3 "Inpainting and Editing", MaskGit
@@ -756,8 +779,12 @@ def _generate_jit(
         argsort, and unmasked positions' scores are pinned to -1e5 (or come
         from the full-seq critic) on both paths."""
         ids, scores, self_cond_embed = carry
-        t, steps_left, key, g_inj = xs
+        t, steps_left, key, g_inj, scale_t = xs
         k_gumbel, k_critic_noise = jax.random.split(key)
+        # constant guidance stays a python float (compile-time constant,
+        # bit-identical to the pre-schedule behavior); schedules use the
+        # per-step traced scalar
+        step_scale = scale_t if scheduled else cond_scale
 
         if progress:
             # host-side progress line (tqdm role); each callback syncs once
@@ -818,14 +845,14 @@ def _generate_jit(
 
         # the fused sampler combines the CFG pair in ITS kernel (one less
         # full-vocab HBM pass per step); other samplers take combined logits
-        fuse_cfg = sampler == "fused" and cond_scale != 1
+        fuse_cfg = sampler == "fused" and cfg_on
         logits, embed = demask_fn(
             x_in,
             text_embeds=text_embeds,
             text_mask=text_mask,
             self_cond_embed=self_cond_embed if transformer.self_cond else None,
             conditioning_token_ids=cond_ids,
-            cond_scale=cond_scale,
+            cond_scale=step_scale,
             return_embed=True,
             return_raw_double=fuse_cfg,
             attn_impl=attn_impl,
@@ -867,7 +894,7 @@ def _generate_jit(
                 # the kernel is TPU Mosaic; CPU runs use the TPU interpreter
                 interpret=jax.default_backend() != "tpu",
                 cfg_pair=fuse_cfg,
-                cond_scale=float(cond_scale),
+                cond_scale=step_scale if scheduled else float(cond_scale),
             )
             pred_ids = pred_flat.reshape(batch, npos)
             chosen_prob = chosen_flat.reshape(batch, npos)
@@ -902,7 +929,7 @@ def _generate_jit(
                 text_embeds=text_embeds,
                 text_mask=text_mask,
                 conditioning_token_ids=cond_ids,
-                cond_scale=cond_scale,
+                cond_scale=step_scale,
                 context_kv=critic_ctx_kv,
             )
             new_scores = critic_logits[..., 0]
@@ -937,7 +964,7 @@ def _generate_jit(
         return (ids_out, new_scores, new_self_cond), None
 
     carry = (ids0, scores0, self_cond0)
-    xs_all = (ts, steps_until_x0, step_keys, injected_gumbel_noise)
+    xs_all = (ts, steps_until_x0, step_keys, injected_gumbel_noise, scale_per_step)
 
     if segments is not None:
         # compact decode: one lax.scan per run of equal-bucket steps (plan
@@ -1029,7 +1056,7 @@ class Muse(nnx.Module):
         self,
         images: Array,
         edit_mask: Array,
-        texts: List[str],
+        texts: Optional[List[str]] = None,
         rng: Optional[Array] = None,
         cond_scale: float = 3.0,
         temperature: float = 1.0,
@@ -1037,6 +1064,8 @@ class Muse(nnx.Module):
         superres_timesteps: Optional[int] = None,
         return_pil_images: bool = True,
         attn_impl: str = "auto",
+        text_embeds: Optional[Array] = None,
+        text_mask: Optional[Array] = None,
     ):
         """Cascade editing (Muse paper §3): edit the region at the base
         resolution, then edit the SAME region of the original high-res image
@@ -1074,11 +1103,20 @@ class Muse(nnx.Module):
             axis=(2, 4),
         )
 
+        # serving paths pass precomputed fixed-length embeddings; encode once
+        # here instead of once per stage
+        if text_embeds is None:
+            assert texts is not None
+            text_embeds = base.transformer.encode_text(texts)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+
         lowres_edited = base.edit(
             lowres_src,
             lowres_mask,
-            texts=texts,
             rng=k_base,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
             cond_scale=cond_scale,
             temperature=temperature,
             timesteps=timesteps,
@@ -1089,8 +1127,9 @@ class Muse(nnx.Module):
         superres_image = sr.edit(
             images,
             edit_mask,
-            texts=texts,
             rng=k_sr,
+            text_embeds=text_embeds,
+            text_mask=text_mask,
             cond_scale=cond_scale,
             cond_images=lowres_edited,
             temperature=temperature,

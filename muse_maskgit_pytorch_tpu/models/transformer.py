@@ -431,8 +431,12 @@ class Transformer(nnx.Module):
         `context_kv`: precomputed per-layer cross-attn K/V, already sized for
         the batch this wrapper will run (i.e. DOUBLED when cond_scale != 1 —
         both CFG halves share the same context values; only the mask
-        differs)."""
-        if cond_scale == 1:
+        differs).
+
+        `cond_scale` may be a traced scalar (per-step guidance schedules,
+        Muse paper §2.5) — a tracer always takes the doubled-batch path; the
+        single-pass shortcut applies only to a literal 1."""
+        if isinstance(cond_scale, (int, float)) and cond_scale == 1:
             return self(
                 x,
                 text_embeds=text_embeds,

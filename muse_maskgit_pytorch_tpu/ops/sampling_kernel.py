@@ -55,8 +55,8 @@ _BISECT_ITERS = 10
 
 
 def _sample_kernel(
-    temp_ref, seed_ref, logits_ref, *rest, k: int, has_noise: bool,
-    has_null: bool = False, cond_scale: float = 1.0
+    temp_ref, seed_ref, scale_ref, logits_ref, *rest, k: int, has_noise: bool,
+    has_null: bool = False
 ):
     null_ref = None
     if has_null:
@@ -73,10 +73,13 @@ def _sample_kernel(
         # classifier-free guidance folded into the kernel: the cond and null
         # row blocks of the doubled-batch logits combine in VMEM, so the
         # scaled logits never exist in HBM (saves one full elementwise HBM
-        # pass per decode step)
+        # pass per decode step). cond_scale arrives as a prefetched scalar
+        # (not a compile-time constant) so guidance-scale SCHEDULES (Muse
+        # paper §2.5: linearly increasing guidance through the decode) reuse
+        # one compiled kernel across steps.
         cond = logits_ref[:].astype(jnp.float32)
         null = null_ref[:].astype(jnp.float32)
-        l = null + (cond - null) * cond_scale  # (bn, V)
+        l = null + (cond - null) * scale_ref[0]  # (bn, V)
     else:
         l = logits_ref[:].astype(jnp.float32)  # (bn, V)
     bn, V = l.shape
@@ -132,7 +135,7 @@ def _sample_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "interpret", "cfg_pair", "cond_scale")
+    jax.jit, static_argnames=("k", "block_rows", "interpret", "cfg_pair")
 )
 def fused_topk_gumbel_sample(
     logits: Array,
@@ -143,7 +146,7 @@ def fused_topk_gumbel_sample(
     block_rows: int = 16,
     interpret: bool = False,
     cfg_pair: bool = False,
-    cond_scale: float = 1.0,
+    cond_scale=1.0,
 ) -> Tuple[Array, Array]:
     """logits: (rows, V) f32 or bf16; k static; temperature traced scalar; seed traced
     int32 scalar; noise: optional (rows, V) pre-drawn gumbel noise (overrides
@@ -152,7 +155,9 @@ def fused_topk_gumbel_sample(
     cfg_pair=True: logits carries a CFG-doubled batch — cond rows [0, rows/2)
     and null rows [rows/2, rows) — and the kernel samples from
     `null + (cond - null) * cond_scale` combined in VMEM. Outputs cover the
-    rows/2 cond rows."""
+    rows/2 cond rows. `cond_scale` may be a python float or a traced scalar
+    (it rides the scalar-prefetch path), so per-step guidance schedules hit
+    one compiled kernel."""
     if cfg_pair:
         assert logits.shape[0] % 2 == 0
         rows = logits.shape[0] // 2
@@ -180,6 +185,7 @@ def fused_topk_gumbel_sample(
     grid = ((rows + pad) // bn,)
     temp_arr = jnp.reshape(temperature.astype(jnp.float32), (1,))
     seed_arr = jnp.reshape(seed.astype(jnp.int32), (1,))
+    scale_arr = jnp.reshape(jnp.asarray(cond_scale, jnp.float32), (1,))
     has_noise = noise is not None
 
     in_specs = [pl.BlockSpec((bn, V), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)]
@@ -208,10 +214,9 @@ def fused_topk_gumbel_sample(
             k=k,
             has_noise=has_noise,
             has_null=cfg_pair,
-            cond_scale=cond_scale,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=[
@@ -231,7 +236,7 @@ def fused_topk_gumbel_sample(
         # the generic HLO interpreter lacks the TPU PRNG primitives; use the
         # TPU-semantics interpreter for CPU runs
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(temp_arr, seed_arr, *operands)
+    )(temp_arr, seed_arr, scale_arr, *operands)
 
     return idx[:rows, 0], prob[:rows, 0]
 

@@ -238,6 +238,87 @@ class GeneratePipeline:
             return [Image.fromarray(np.asarray(im)) for im in images]
         return images
 
+    def edit(self, images, edit_masks, prompts: Union[str, List[str]]):
+        """Batched editing / inpainting: regenerate the masked region of each
+        image under its prompt (MaskGit.edit / Muse.edit with the pipeline's
+        fixed shapes). `images`: (n, H, W, 3) float [0,1] or uint8 at the
+        model's (cascade: super-res) image size; `edit_masks`: (n, H, W)
+        pixel-level or (n, f, f) token-level (single MaskGit only), True =
+        regenerate. Requests chunk/pad to `batch_size` like __call__ —
+        padding rows carry an all-False mask, so they pass through the
+        decode untouched (zero editable positions) and are dropped. Returns
+        uint8 images (or PIL with return_pil=True)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0
+        edit_masks = np.asarray(edit_masks)
+        if edit_masks.dtype != np.bool_:
+            edit_masks = edit_masks > 0.5
+        n = len(prompts)
+        assert images.shape[0] == edit_masks.shape[0] == n, (
+            f"prompts ({n}), images ({images.shape[0]}) and masks "
+            f"({edit_masks.shape[0]}) must align"
+        )
+        self.stats["requests"] += 1
+
+        outputs = []
+        for start in range(0, n, self.batch_size):
+            chunk = list(prompts[start : start + self.batch_size])
+            pad = self.batch_size - len(chunk)
+            img_chunk = images[start : start + self.batch_size]
+            mask_chunk = edit_masks[start : start + self.batch_size]
+            if pad:
+                img_chunk = np.concatenate(
+                    [img_chunk, np.zeros((pad,) + img_chunk.shape[1:], img_chunk.dtype)]
+                )
+                mask_chunk = np.concatenate(
+                    [mask_chunk, np.zeros((pad,) + mask_chunk.shape[1:], bool)]
+                )
+            embeds, tmask = self._encode_prompts(chunk + [""] * pad)
+            img_j = jnp.asarray(img_chunk)
+            mask_j = jnp.asarray(mask_chunk)
+            if self.mesh is not None:
+                img_j, mask_j, embeds, tmask = shard_batch(
+                    (img_j, mask_j, embeds, tmask), self.mesh, self._data_axis
+                )
+            t0 = time.perf_counter()
+            key = self._next_key()
+            if self.mesh is not None:
+                with self.mesh:
+                    imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key)
+            else:
+                imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key)
+            imgs_u8 = (jnp.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            imgs_np = np.asarray(imgs_u8)
+            self.stats["generate_seconds"] += time.perf_counter() - t0
+            self.stats["batches"] += 1
+            outputs.append(imgs_np[: len(chunk)])
+
+        out = np.concatenate(outputs, axis=0)
+        self.stats["images"] += n
+        if self.return_pil:
+            from PIL import Image
+
+            return [Image.fromarray(np.asarray(im)) for im in out]
+        return out
+
+    def _edit_batch(self, images, masks, embeds, tmask, key):
+        common = dict(
+            cond_scale=self.cond_scale,
+            temperature=self.temperature,
+            timesteps=self.timesteps,
+        )
+        if self.is_cascade:
+            return self.model.edit(
+                images, masks, rng=key, text_embeds=embeds, text_mask=tmask,
+                return_pil_images=False, **common,
+            )
+        return self.model.edit(
+            images, masks, rng=key, text_embeds=embeds, text_mask=tmask, **common
+        )
+
     @property
     def images_per_second(self) -> Optional[float]:
         if self.stats["generate_seconds"] == 0:

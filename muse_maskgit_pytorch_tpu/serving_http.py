@@ -34,18 +34,20 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 
 class _Pending:
-    """One enqueued prompt and the slot its image lands in."""
+    """One enqueued prompt (plus optional edit payload) and its result slot."""
 
-    __slots__ = ("prompt", "event", "image", "error")
+    __slots__ = ("prompt", "source", "mask", "event", "image", "error")
 
-    def __init__(self, prompt: str):
+    def __init__(self, prompt: str, source=None, mask=None):
         self.prompt = prompt
+        self.source = source  # (H, W, 3) source image for edit requests
+        self.mask = mask  # (H, W) bool edit mask for edit requests
         self.event = threading.Event()
         self.image: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
@@ -65,7 +67,12 @@ class DynamicBatcher:
     def __init__(self, pipeline, max_wait_ms: float = 50.0):
         self.pipeline = pipeline
         self.max_wait = max_wait_ms / 1000.0
-        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        # generate and edit requests run different compiled programs, so they
+        # batch separately: one FIFO queue per kind, same single worker
+        self._queues = {
+            "generate": queue.Queue(),
+            "edit": queue.Queue(),
+        }
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {
@@ -87,15 +94,36 @@ class DynamicBatcher:
     def submit(self, prompts: List[str]) -> List[_Pending]:
         pendings = [_Pending(p) for p in prompts]
         for p in pendings:
-            self._queue.put(p)
+            self._queues["generate"].put(p)
         return pendings
 
-    def _collect(self) -> List[_Pending]:
-        """Block for the first prompt, then fill the batch for max_wait."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+    def submit_edit(self, prompts, sources, masks) -> List[_Pending]:
+        pendings = [
+            _Pending(p, source=s, mask=m) for p, s, m in zip(prompts, sources, masks)
+        ]
+        for p in pendings:
+            self._queues["edit"].put(p)
+        return pendings
+
+    def _collect(self) -> Tuple[str, List[_Pending]]:
+        """Block for the first request of either kind, then fill the batch
+        from the SAME kind for max_wait (generate and edit batches are
+        different compiled programs, so they never mix)."""
+        first = kind = None
+        deadline_poll = time.monotonic() + 0.1
+        while first is None:
+            for k, q in self._queues.items():
+                try:
+                    first = q.get_nowait()
+                    kind = k
+                    break
+                except queue.Empty:
+                    continue
+            if first is None:
+                if time.monotonic() >= deadline_poll or self._stop.is_set():
+                    return "", []
+                time.sleep(0.005)
+        q = self._queues[kind]
         batch = [first]
         deadline = time.monotonic() + self.max_wait
         size = self.pipeline.batch_size
@@ -104,25 +132,32 @@ class DynamicBatcher:
             if remaining <= 0:
                 # batch is going out — but never leave ready work behind
                 try:
-                    batch.append(self._queue.get_nowait())
+                    batch.append(q.get_nowait())
                     continue
                 except queue.Empty:
                     break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                batch.append(q.get(timeout=remaining))
             except queue.Empty:
                 break
-        return batch
+        return kind, batch
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self._collect()
+            kind, batch = self._collect()
             if not batch:
                 continue
             try:
-                images = self.pipeline(
-                    [p.prompt for p in batch]
-                )  # pipeline pads to batch_size itself
+                if kind == "edit":
+                    images = self.pipeline.edit(
+                        np.stack([p.source for p in batch]),
+                        np.stack([p.mask for p in batch]),
+                        [p.prompt for p in batch],
+                    )
+                else:
+                    images = self.pipeline(
+                        [p.prompt for p in batch]
+                    )  # pipeline pads to batch_size itself
                 if self.pipeline.return_pil:
                     images = [np.asarray(im) for im in images]
                 for p, im in zip(batch, images):
@@ -146,6 +181,20 @@ def _png_b64(image: np.ndarray) -> str:
     buf = io.BytesIO()
     Image.fromarray(image).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _b64_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+def _b64_mask(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    m = Image.open(io.BytesIO(base64.b64decode(b64))).convert("L")
+    return np.asarray(m) > 127
 
 
 class GenerateServer:
@@ -192,8 +241,7 @@ class GenerateServer:
 
     # -- request handling -------------------------------------------------
 
-    def _generate(self, prompts: List[str]) -> List[str]:
-        pendings = self.batcher.submit(prompts)
+    def _await(self, pendings: List[_Pending]) -> List[str]:
         images = []
         for p in pendings:
             if not p.event.wait(timeout=self.request_timeout_s):
@@ -206,6 +254,12 @@ class GenerateServer:
             images.append(_png_b64(p.image))
         self._warm = True
         return images
+
+    def _generate(self, prompts: List[str]) -> List[str]:
+        return self._await(self.batcher.submit(prompts))
+
+    def _edit(self, prompts: List[str], sources, masks) -> List[str]:
+        return self._await(self.batcher.submit_edit(prompts, sources, masks))
 
     def _handler_class(self):
         server = self
@@ -245,7 +299,7 @@ class GenerateServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
+                if self.path not in ("/generate", "/edit"):
                     self._reply(404, {"error": "not found"})
                     return
                 try:
@@ -259,7 +313,24 @@ class GenerateServer:
                             400, {"error": 'body must be {"prompts": ["...", ...]}'}
                         )
                         return
-                    images = server._generate(prompts)
+                    if self.path == "/edit":
+                        srcs = req.get("images") or []
+                        masks = req.get("masks") or []
+                        if not (len(srcs) == len(masks) == len(prompts)):
+                            self._reply(
+                                400,
+                                {
+                                    "error": "edit needs equal-length prompts, "
+                                    'images (b64 PNG) and masks (b64 grayscale '
+                                    "PNG, >127 = regenerate)"
+                                },
+                            )
+                            return
+                        sources = [_b64_image(s) for s in srcs]
+                        edit_masks = [_b64_mask(m) for m in masks]
+                        images = server._edit(prompts, sources, edit_masks)
+                    else:
+                        images = server._generate(prompts)
                     self._reply(200, {"images": images})
                 except TimeoutError as e:
                     self._reply(503, {"error": str(e)})

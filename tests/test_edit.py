@@ -158,6 +158,36 @@ def test_muse_cascade_edit(rng):
     assert pil[0].size == (32, 32)
 
 
+def test_edit_sharded_matches_unsharded(rng):
+    """Editing under a data-parallel mesh (serving pipelines shard request
+    batches) must be token-identical to single-device — including the
+    per-row editable budgets, which reduce across the sharded seq axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh
+
+    mg = base_maskgit()
+    batch = 8
+    images = jax.random.uniform(rng, (batch, 16, 16, 3))
+    te = text_embeds_for(batch, rng)
+    mask = np.zeros((batch, 4, 4), bool)
+    mask[::2, :2, :] = True  # different regions per row, some rows untouched
+    mask[1::2, :, 2:] = True
+    ref = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+
+    mesh = create_mesh()
+    with mesh:
+        sh = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+        out = _edit_ids(
+            mg,
+            sh(images, P("data", None, None, None)),
+            sh(jnp.asarray(mask), P("data", None, None)),
+            rng,
+            sh(te, P("data", None, None)),
+        )
+    np.testing.assert_array_equal(ref, out)
+
+
 def test_edit_rejects_bad_schedule(rng):
     # a schedule with schedule(0) < 1 cannot refill the edit region at step 0
     mg = base_maskgit(noise_schedule=lambda t: 0.5 * jnp.cos(t * jnp.pi / 2))

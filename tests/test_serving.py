@@ -55,6 +55,35 @@ def test_pipeline_single_prompt_array_output():
     assert out.dtype == np.uint8
 
 
+def test_pipeline_edit_batched_and_padded():
+    """Serving-path editing: chunking + padding with all-False masks (padding
+    rows pass through untouched), uint8 output, and token preservation — an
+    all-False mask row must reproduce the VAE roundtrip of its source."""
+    import jax.numpy as jnp
+
+    mg = _maskgit()
+    pipe = GeneratePipeline(
+        mg, batch_size=4, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(5, 16, 16, 3)).astype(np.float32)
+    masks = np.zeros((5, 16, 16), bool)
+    masks[0, :8, :] = True  # row 0 edits the top half; rest untouched
+
+    out = pipe.edit(images, masks, ["a", "b", "c", "d", "e"])
+    assert out.shape == (5, 16, 16, 3) and out.dtype == np.uint8
+    assert pipe.stats["batches"] == 2  # ceil(5/4) fixed-shape programs
+
+    # untouched rows == quantized VAE roundtrip of the source
+    _, ids, _ = mg.vae.encode(jnp.asarray(images[1:]), train=False)
+    expect = mg.vae.decode_from_ids(ids)
+    expect_u8 = np.asarray(
+        (jnp.clip(expect, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    )
+    np.testing.assert_array_equal(out[1:], expect_u8)
+
+
 def test_pipeline_bf16_vae_production_config():
     """The production recommendation (BASELINE.md r3: VAE dtype=bf16, decode
     stage -17%, max pixel delta 0.0008) must serve correctly end to end."""

@@ -108,6 +108,40 @@ def test_concurrent_requests_coalesce(server):
     assert server.batcher.stats["coalesced_batches"] >= 1
 
 
+def test_edit_endpoint(server):
+    """POST /edit: b64 PNG sources + grayscale masks -> edited b64 PNGs,
+    batched through the same worker; bad payloads get 400."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    mask = np.zeros((16, 16), np.uint8)
+    mask[:8, :] = 255  # regenerate the top half
+
+    def b64_of(arr, mode):
+        import base64 as b64mod
+        import io as iomod
+
+        buf = iomod.BytesIO()
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        return b64mod.b64encode(buf.getvalue()).decode()
+
+    payload = {
+        "prompts": ["a cat", "a dog"],
+        "images": [b64_of(src, "RGB")] * 2,
+        "masks": [b64_of(mask, "L")] * 2,
+    }
+    status, out = _post(server.port, payload, path="/edit")
+    assert status == 200
+    imgs = [_decode_png(b) for b in out["images"]]
+    assert all(i.shape == (16, 16, 3) and i.dtype == np.uint8 for i in imgs)
+
+    status, out = _post(
+        server.port, {"prompts": ["x"], "images": [], "masks": []}, path="/edit"
+    )
+    assert status == 400
+
+
 def test_bad_requests(server):
     status, out = _post(server.port, {"prompts": []})
     assert status == 400

@@ -137,6 +137,50 @@ def test_maskgit_trainer_step_and_loss_decreases(tmp_path):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_maskgit_trainer_trains_token_critic(tmp_path):
+    """Joint generator+critic training (the reference README's token-critic
+    TODO, never finished upstream): the trainer's trainable partition must
+    include the critic head — its params get gradients and move — and the
+    joint CE + BCE loss stays finite."""
+    vae = VQGanVAE(
+        dim=16, layers=2, codebook_size=32, use_vgg_and_gan=False, rngs=nnx.Rngs(0)
+    )
+    transformer = MaskGitTransformer(
+        num_tokens=32, dim=32, seq_len=16, depth=1, dim_head=16, heads=2,
+        t5_name=TINY_T5, rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(
+        image_size=16, transformer=transformer, vae=vae,
+        self_token_critic=True, rngs=nnx.Rngs(0),
+    )
+    trainer = MaskGitTrainer(
+        mg, num_train_steps=4, batch_size=2, lr=1e-3,
+        results_folder=str(tmp_path / "mgc"), use_ema=False,
+        save_model_every=10**9,
+    )
+    critic_before = jax.tree.map(
+        np.array,
+        [l for p, l in jax.tree_util.tree_leaves_with_path(trainer.state["params"])
+         if "token_critic" in jax.tree_util.keystr(p)],
+    )
+    assert critic_before, "critic params missing from the trainable partition"
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(1, 2, 16, 16, 3)).astype(np.float32)
+    te = rng.normal(size=(1, 2, 6, 32)).astype(np.float32)
+    tm = np.ones((1, 2, 6), bool)
+    for _ in range(3):
+        out = trainer.train_step_arrays(images, te, tm)
+        assert np.isfinite(out["loss"])
+    critic_after = [
+        l for p, l in jax.tree_util.tree_leaves_with_path(trainer.state["params"])
+        if "token_critic" in jax.tree_util.keystr(p)
+    ]
+    moved = any(
+        not np.allclose(np.asarray(a), b) for a, b in zip(critic_after, critic_before)
+    )
+    assert moved, "critic params did not receive gradients"
+
+
 def test_maskgit_trainer_data_loop(tmp_path):
     trainer = MaskGitTrainer(
         _tiny_maskgit(),
