@@ -46,6 +46,11 @@ def main():
     p.add_argument("--t5-name", default="google/t5-v1_1-base")
     p.add_argument("--timesteps", type=int, default=18)
     p.add_argument("--cond-scale", type=float, default=3.0)
+    p.add_argument(
+        "--cond-scale-end", type=float, default=None,
+        help="ramp guidance linearly from --cond-scale to this across steps "
+        "(Muse paper guidance schedule)",
+    )
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-prefix", default="sample")
@@ -56,6 +61,11 @@ def main():
         args.depth, args.t5_name,
     )
     rng = jax.random.PRNGKey(args.seed)
+    cond_scale = (
+        (args.cond_scale, args.cond_scale_end)
+        if args.cond_scale_end is not None
+        else args.cond_scale
+    )
 
     if args.superres_checkpoint:
         sr = load_maskgit(
@@ -64,7 +74,7 @@ def main():
         )
         muse = Muse(base, sr)
         images = muse(
-            args.prompts, rng=rng, cond_scale=args.cond_scale,
+            args.prompts, rng=rng, cond_scale=cond_scale,
             temperature=args.temperature, timesteps=args.timesteps,
         )
     else:
@@ -74,7 +84,7 @@ def main():
             if args.negative_prompt
             else None,
             rng=rng,
-            cond_scale=args.cond_scale,
+            cond_scale=cond_scale,
             temperature=args.temperature,
             timesteps=args.timesteps,
         )

@@ -11,7 +11,16 @@ EXAMPLES = Path(__file__).resolve().parents[1] / "examples"
 
 @pytest.mark.parametrize(
     "script",
-    ["train_vqgan.py", "train_maskgit.py", "sample.py", "tokenize_dataset.py", "smoke_e2e.py"],
+    [
+        "train_vqgan.py",
+        "train_maskgit.py",
+        "sample.py",
+        "tokenize_dataset.py",
+        "smoke_e2e.py",
+        "edit_image.py",
+        "serve.py",
+        "fsdp_memory_report.py",
+    ],
 )
 def test_example_help(script):
     out = subprocess.run(
