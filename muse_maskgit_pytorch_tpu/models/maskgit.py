@@ -245,7 +245,7 @@ class MaskGit(nnx.Module):
             # step 0 must be able to refill the whole edit region, otherwise
             # leftover mask_id positions get -1e5 scores, are never resampled,
             # and the out-of-codebook mask_id flows into vae.decode_from_ids
-            assert float(self.noise_schedule(jnp.zeros(()))) >= 1.0, (
+            assert _schedule_starts_full(self.noise_schedule), (
                 "editing requires noise_schedule(0) == 1 (full remask at step 0)"
             )
             compact = False
@@ -543,6 +543,14 @@ class MaskGit(nnx.Module):
 
 
 @functools.lru_cache(maxsize=64)
+def _schedule_starts_full(noise_schedule) -> bool:
+    """schedule(0) >= 1, evaluated once per schedule (the eager device eval
+    costs a ~30 ms tunnel round-trip; editing checks this on every call)."""
+    with jax.ensure_compile_time_eval():
+        return float(noise_schedule(jnp.zeros(()))) >= 1.0
+
+
+@functools.lru_cache(maxsize=64)
 def _compact_segments(noise_schedule, seq_len: int, timesteps: int):
     """Static segment plan for the compact decode path.
 
@@ -744,7 +752,9 @@ def _generate_jit(
         "counts are data-dependent; generate() forces compact=False)"
     )
     if has_known:
-        known_mask = known_mask.reshape(batch, seq_len)
+        # coerce to bool: for an int 0/1 mask, bitwise ~ below would compute
+        # -2/-1 instead of logical not, making every n_editable negative
+        known_mask = known_mask.reshape(batch, seq_len).astype(bool)
         known_ids = known_ids.reshape(batch, seq_len).astype(jnp.int32)
         ids0 = jnp.where(known_mask, known_ids, mask_id)
         scores0 = jnp.where(known_mask, -1e5, 0.0).astype(jnp.float32)
@@ -1066,6 +1076,7 @@ class Muse(nnx.Module):
         attn_impl: str = "auto",
         text_embeds: Optional[Array] = None,
         text_mask: Optional[Array] = None,
+        neg_text_embeds: Optional[Array] = None,
     ):
         """Cascade editing (Muse paper §3): edit the region at the base
         resolution, then edit the SAME region of the original high-res image
@@ -1104,12 +1115,32 @@ class Muse(nnx.Module):
         )
 
         # serving paths pass precomputed fixed-length embeddings; encode once
-        # here instead of once per stage
+        # here instead of once per stage — but only when both stages read the
+        # same encoder's embeddings (a cascade may pair different T5 sizes,
+        # in which case each stage must encode with its own)
+        shared_encoder = (
+            base.transformer.t5_name == sr.transformer.t5_name
+            and base.transformer.text_embed_dim == sr.transformer.text_embed_dim
+        )
+        sr_text_embeds, sr_text_mask = text_embeds, text_mask
         if text_embeds is None:
             assert texts is not None
             text_embeds = base.transformer.encode_text(texts)
+            sr_text_embeds = (
+                text_embeds if shared_encoder else sr.transformer.encode_text(texts)
+            )
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
+        if sr_text_mask is None:
+            sr_text_mask = jnp.any(sr_text_embeds != 0, axis=-1)
+        if neg_text_embeds is not None:
+            # a single negative-embedding batch feeds both stages' CFG, so
+            # the stages must share a text encoder (serving always does)
+            assert shared_encoder, (
+                "neg_text_embeds requires both cascade stages to use the "
+                "same text encoder; encode per stage and call MaskGit.edit "
+                "directly otherwise"
+            )
 
         lowres_edited = base.edit(
             lowres_src,
@@ -1117,6 +1148,7 @@ class Muse(nnx.Module):
             rng=k_base,
             text_embeds=text_embeds,
             text_mask=text_mask,
+            neg_text_embeds=neg_text_embeds,
             cond_scale=cond_scale,
             temperature=temperature,
             timesteps=timesteps,
@@ -1128,8 +1160,9 @@ class Muse(nnx.Module):
             images,
             edit_mask,
             rng=k_sr,
-            text_embeds=text_embeds,
-            text_mask=text_mask,
+            text_embeds=sr_text_embeds,
+            text_mask=sr_text_mask,
+            neg_text_embeds=neg_text_embeds,
             cond_scale=cond_scale,
             cond_images=lowres_edited,
             temperature=temperature,

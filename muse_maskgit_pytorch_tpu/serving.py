@@ -130,6 +130,13 @@ class GeneratePipeline:
         m = self.model.base_maskgit if self.is_cascade else self.model
         return m.transformer
 
+    @property
+    def image_size(self) -> int:
+        """Input/output pixel size (the super-res stage's for a cascade) —
+        what edit() expects source images and masks to measure."""
+        m = self.model.superres_maskgit if self.is_cascade else self.model
+        return m.image_size
+
     def _encode_prompts(self, prompts: Sequence[str]):
         """Fixed-length text embeddings: pad/truncate to `text_len` so every
         batch hits the same compiled program."""
@@ -305,10 +312,13 @@ class GeneratePipeline:
         return out
 
     def _edit_batch(self, images, masks, embeds, tmask, key):
+        # same guidance contract as __call__: the pipeline's negative prompt
+        # applies to edit requests too
         common = dict(
             cond_scale=self.cond_scale,
             temperature=self.temperature,
             timesteps=self.timesteps,
+            neg_text_embeds=self._neg_embeds(),
         )
         if self.is_cascade:
             return self.model.edit(

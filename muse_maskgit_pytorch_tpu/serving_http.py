@@ -73,6 +73,10 @@ class DynamicBatcher:
             "generate": queue.Queue(),
             "edit": queue.Queue(),
         }
+        # round-robin start offset between kinds: without it a sustained
+        # stream of one kind would always win the poll and starve the other
+        self._kinds = list(self._queues)
+        self._rr = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {
@@ -112,10 +116,14 @@ class DynamicBatcher:
         first = kind = None
         deadline_poll = time.monotonic() + 0.1
         while first is None:
-            for k, q in self._queues.items():
+            for i in range(len(self._kinds)):
+                k = self._kinds[(self._rr + i) % len(self._kinds)]
                 try:
-                    first = q.get_nowait()
+                    first = self._queues[k].get_nowait()
                     kind = k
+                    # the OTHER kind polls first next round, so neither can
+                    # starve under a sustained stream of one kind
+                    self._rr = (self._rr + i + 1) % len(self._kinds)
                     break
                 except queue.Empty:
                     continue
@@ -328,6 +336,31 @@ class GenerateServer:
                             return
                         sources = [_b64_image(s) for s in srcs]
                         edit_masks = [_b64_mask(m) for m in masks]
+                        # validate BEFORE enqueuing: a wrong-size image would
+                        # otherwise fail inside the worker's np.stack and
+                        # poison every coalesced companion request with a 500
+                        size = server.pipeline.image_size
+                        for i, (s, m) in enumerate(zip(sources, edit_masks)):
+                            if s.shape != (size, size, 3):
+                                self._reply(
+                                    400,
+                                    {
+                                        "error": f"images[{i}] is "
+                                        f"{s.shape[1]}x{s.shape[0]}, the "
+                                        f"pipeline serves {size}x{size}"
+                                    },
+                                )
+                                return
+                            if m.shape != (size, size):
+                                self._reply(
+                                    400,
+                                    {
+                                        "error": f"masks[{i}] is "
+                                        f"{m.shape[1]}x{m.shape[0]}, expected "
+                                        f"{size}x{size}"
+                                    },
+                                )
+                                return
                         images = server._edit(prompts, sources, edit_masks)
                     else:
                         images = server._generate(prompts)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import random as _random
 import threading
 import queue
+import warnings
 from pathlib import Path
 from typing import Iterator, List, Sequence
 
@@ -172,11 +173,26 @@ def prefetch_iterator(it: Iterator, size: int = 2) -> Iterator:
             yield x
     finally:
         stop.set()
-        # join so `close()` on this generator guarantees the producer is no
+        # join so `close()` on this generator GUARANTEES the producer is no
         # longer touching `it`'s underlying resources (e.g. the native shard
-        # loader handle, which the caller may free right after). put_bounded's
-        # 0.5 s put timeout bounds how long the producer needs to observe stop.
-        t.join(timeout=5.0)
+        # loader handle, which the caller frees right after — a timed-out
+        # join here would let loader.close() race a live producer into a
+        # segfault). put_bounded's 0.5 s put timeout bounds how long the
+        # producer needs to observe stop once its current item is produced;
+        # the only unbounded wait is `it` itself mid-item (host compute that
+        # terminates), so wait for it — loudly if it's slow.
+        waited = 0.0
+        while True:
+            t.join(timeout=15.0)
+            if not t.is_alive():
+                break
+            waited += 15.0
+            warnings.warn(
+                f"prefetch producer still finishing its current item after "
+                f"{waited:.0f}s; waiting (resources it uses stay open until "
+                "it exits)",
+                stacklevel=2,
+            )
 
 
 def split_dataset(dataset: ImageDataset, valid_frac: float, seed: int = 42):

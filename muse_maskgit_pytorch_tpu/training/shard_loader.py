@@ -250,13 +250,25 @@ class ShardLoader:
         """Yield (tokens, list[str]) batches by joining the `<shard>.captions`
         sidecars (written by `write_shard(..., captions=)`)."""
         store = CaptionStore(self._paths_used)
-        while True:
-            tokens, si, ri = self.next_batch_meta()
-            yield tokens, store.lookup(si, ri)
+        try:
+            while True:
+                try:
+                    tokens, si, ri = self.next_batch_meta()
+                except StopIteration:
+                    return  # PEP 479: StopIteration may not cross a generator
+                yield tokens, store.lookup(si, ri)
+        finally:
+            # the store holds one open fd per sidecar — release them when the
+            # generator is closed/abandoned, not at process exit
+            store.close()
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
-            yield self.next_batch()
+            try:
+                batch = self.next_batch()
+            except StopIteration:
+                return  # PEP 479: StopIteration may not cross a generator
+            yield batch
 
     def close(self):
         if self._h:

@@ -73,7 +73,9 @@ class FeatureStats:
     def save(self, path) -> str:
         path = Path(path)
         np.savez(path, dim=self.dim, n=self.n, sum=self._sum, outer=self._outer)
-        return str(path if path.suffix == ".npz" else path.with_suffix(".npz"))
+        # np.savez APPENDS .npz to any other suffix ('coco.ref' -> 'coco.ref.npz'),
+        # it does not replace it — return the name actually written
+        return str(path if path.suffix == ".npz" else Path(str(path) + ".npz"))
 
     @classmethod
     def load(cls, path) -> "FeatureStats":

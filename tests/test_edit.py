@@ -199,3 +199,72 @@ def test_edit_rejects_bad_schedule(rng):
             text_embeds=text_embeds_for(1, rng),
             rng=rng,
         )
+
+
+def test_generate_int_known_mask_matches_bool(rng):
+    # known_mask is documented as a mask, not strictly bool: an int 0/1 array
+    # must behave identically (bitwise ~ on ints would give -1/-2 and break
+    # every editable count)
+    mg = base_maskgit()
+    te = text_embeds_for(2, rng)
+    ids = np.asarray(jax.random.randint(rng, (2, 4, 4), 0, CODEBOOK))
+    mask_bool = np.zeros((2, 4, 4), bool)
+    mask_bool[:, 2:, :] = True  # known bottom half
+    out_bool = mg.generate(
+        text_embeds=te, rng=rng, timesteps=3, return_ids=True,
+        known_token_ids=jnp.asarray(ids), known_mask=jnp.asarray(mask_bool),
+    )
+    out_int = mg.generate(
+        text_embeds=te, rng=rng, timesteps=3, return_ids=True,
+        known_token_ids=jnp.asarray(ids),
+        known_mask=jnp.asarray(mask_bool.astype(np.int32)),
+    )
+    np.testing.assert_array_equal(np.asarray(out_bool), np.asarray(out_int))
+    out = np.asarray(out_int)
+    assert (out >= 0).all() and (out < CODEBOOK).all()  # no mask_id leak
+
+
+def test_muse_edit_per_stage_text_encoders(rng, monkeypatch):
+    # a cascade may pair DIFFERENT text encoders; Muse.edit must encode texts
+    # with each stage's own encoder instead of feeding base-dim embeds to the
+    # super-res cross-attention
+    base = base_maskgit()
+    sr = superres_maskgit()
+    muse = Muse(base, sr)
+    # simulate differing encoders without loading real T5s
+    monkeypatch.setattr(base.transformer, "t5_name", "t5-small")
+    monkeypatch.setattr(sr.transformer, "t5_name", "t5-base")
+    calls = []
+
+    def enc_for(t, dim):
+        def enc(texts):
+            calls.append(t.t5_name)
+            return jax.random.normal(jax.random.PRNGKey(0), (len(texts), 6, dim))
+        return enc
+
+    monkeypatch.setattr(
+        base.transformer, "encode_text", enc_for(base.transformer, base.transformer.text_embed_dim)
+    )
+    monkeypatch.setattr(
+        sr.transformer, "encode_text", enc_for(sr.transformer, sr.transformer.text_embed_dim)
+    )
+    images = jax.random.uniform(rng, (1, 32, 32, 3))
+    mask = np.zeros((1, 32, 32), bool)
+    mask[:, :16, :16] = True
+    out = muse.edit(images, jnp.asarray(mask), texts=["x"], rng=rng,
+                    timesteps=2, return_pil_images=False)
+    assert out.shape == (1, 32, 32, 3)
+    assert calls == ["t5-small", "t5-base"]  # one encode per stage
+
+
+def test_muse_edit_neg_embeds_requires_shared_encoder(rng):
+    base = base_maskgit()
+    sr = superres_maskgit()
+    muse = Muse(base, sr)
+    sr.transformer.t5_name = "t5-other"
+    images = jax.random.uniform(rng, (1, 32, 32, 3))
+    mask = np.ones((1, 32, 32), bool)
+    te = text_embeds_for(1, rng)
+    with pytest.raises(AssertionError, match="same text encoder"):
+        muse.edit(images, jnp.asarray(mask), text_embeds=te,
+                  neg_text_embeds=te, rng=rng, timesteps=2)

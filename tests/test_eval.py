@@ -111,3 +111,14 @@ def test_vgg_pipeline_end_to_end():
     fid_diff = fid_score(ref, diff)
     assert fid_same < 1e-6
     assert fid_diff > 100 * max(fid_same, 1e-12)
+
+
+def test_stats_save_appends_npz_suffix(tmp_path):
+    # np.savez APPENDS .npz to non-.npz names; save() must return the file
+    # actually written so load(save(...)) always round-trips
+    rng = np.random.default_rng(6)
+    s = FeatureStats(3).update(rng.normal(size=(16, 3)))
+    p = s.save(tmp_path / "coco.ref")
+    assert p.endswith("coco.ref.npz")
+    s2 = FeatureStats.load(p)
+    assert s2.n == s.n

@@ -257,3 +257,28 @@ def test_export_rejects_wrong_state():
         ep(leaves[:-1], embeds, mask, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="takes none"):
         ep(state, embeds, mask, jax.random.PRNGKey(0), cond_images=jnp.zeros((2, 16, 16, 3)))
+
+
+def test_pipeline_edit_applies_negative_prompt(monkeypatch):
+    """edit() must honor the pipeline's negative_prompt exactly like
+    __call__ does — same guidance contract on both endpoints."""
+    mg = _maskgit()
+    pipe = GeneratePipeline(
+        mg, batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        negative_prompt="blurry", compile_cache=False,
+    )
+    seen = {}
+    orig = mg.edit
+
+    def spy(images, masks, **kw):
+        seen["neg"] = kw.get("neg_text_embeds")
+        return orig(images, masks, **kw)
+
+    monkeypatch.setattr(mg, "edit", spy)
+    rng = np.random.default_rng(11)
+    images = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    masks = np.zeros((2, 16, 16), bool)
+    masks[:, :8, :8] = True
+    out = pipe.edit(images, masks, ["a", "b"])
+    assert out.shape == (2, 16, 16, 3)
+    assert seen["neg"] is not None and seen["neg"].shape[0] == 2

@@ -169,3 +169,87 @@ def test_batcher_propagates_worker_errors():
         assert isinstance(p.error, RuntimeError)
     finally:
         b.stop()
+
+
+def test_edit_wrong_size_rejected_before_batching(server):
+    """A wrong-size edit payload must 400 at the handler, NOT enter the
+    batch and poison coalesced companion requests with a 500."""
+    from PIL import Image
+
+    def b64_of(arr, mode):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    rng = np.random.default_rng(9)
+    bad = {
+        "prompts": ["x"],
+        "images": [b64_of(rng.integers(0, 256, (20, 20, 3), dtype=np.uint8), "RGB")],
+        "masks": [b64_of(np.zeros((20, 20), np.uint8), "L")],
+    }
+    good_src = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good_mask = np.zeros((16, 16), np.uint8)
+    good_mask[:8] = 255
+    good = {
+        "prompts": ["y"],
+        "images": [b64_of(good_src, "RGB")],
+        "masks": [b64_of(good_mask, "L")],
+    }
+
+    results = {}
+
+    def post(name, payload):
+        results[name] = _post(server.port, payload, path="/edit")
+
+    threads = [
+        threading.Thread(target=post, args=("bad", bad)),
+        threading.Thread(target=post, args=("good", good)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    status, out = results["bad"]
+    assert status == 400 and "16x16" in out["error"]
+    status, out = results["good"]
+    assert status == 200 and len(out["images"]) == 1
+
+    # mask-size mismatch is caught too
+    bad_mask = dict(good)
+    bad_mask["masks"] = [b64_of(np.zeros((20, 20), np.uint8), "L")]
+    status, out = _post(server.port, bad_mask, path="/edit")
+    assert status == 400 and "masks[0]" in out["error"]
+
+
+def test_batcher_round_robins_between_kinds():
+    """A sustained generate stream must not starve edit requests: after a
+    generate batch is served, the edit queue gets first claim."""
+    served = []
+
+    class Recorder:
+        batch_size = 2
+        return_pil = False
+
+        def __call__(self, prompts):
+            served.append(("generate", len(prompts)))
+            return np.zeros((len(prompts), 2, 2, 3), np.uint8)
+
+        def edit(self, images, masks, prompts):
+            served.append(("edit", len(prompts)))
+            return np.zeros((len(prompts), 2, 2, 3), np.uint8)
+
+    b = DynamicBatcher(Recorder(), max_wait_ms=10.0)
+    # enqueue BEFORE starting the worker: plenty of generates + one edit
+    gen = b.submit([f"g{i}" for i in range(6)])
+    edit = b.submit_edit(["e0"], [np.zeros((2, 2, 3))], [np.ones((2, 2), bool)])
+    b.start()
+    try:
+        assert edit[0].event.wait(timeout=10)
+        for p in gen:
+            assert p.event.wait(timeout=10)
+    finally:
+        b.stop()
+    kinds = [k for k, _ in served]
+    # the edit batch must run before the LAST generate batch (round-robin),
+    # i.e. it did not wait out the whole generate backlog
+    assert "edit" in kinds[:-1]
