@@ -117,6 +117,7 @@ from muse_maskgit_pytorch_tpu.training.data import (
     split_dataset,
 )
 from muse_maskgit_pytorch_tpu.training.ema import ema_init, ema_update
+from muse_maskgit_pytorch_tpu.training.preemption import PreemptionGuard
 from muse_maskgit_pytorch_tpu.utils.checkpoint import (
     latest_step,
     load_train_state,
@@ -549,9 +550,17 @@ class VQGanVAETrainer:
         return logs
 
     def train(self, log_fn: Callable = lambda *a, **k: None):
-        while self.steps < self.num_train_steps:
-            logs = self.train_step()
-            log_fn(logs)
+        with PreemptionGuard() as guard:
+            while self.steps < self.num_train_steps and not guard.requested:
+                logs = self.train_step()
+                log_fn(logs)
+            if guard.requested:
+                # SIGTERM grace window (preemptible TPU pools): checkpoint
+                # the exact state so auto_resume continues from this step
+                self.print(
+                    f"preemption signal: checkpointing step {self.steps} and exiting"
+                )
+                self.save()
         wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")
 
@@ -852,18 +861,24 @@ class MaskGitTrainer:
         the frozen-T5 text encoding) to a background thread so it overlaps
         the device step; 0 restores the strictly-alternating behavior."""
         batches = prefetch_iterator(self._encoded_accum_batches(data_iter), prefetch)
-        while self.steps < self.num_train_steps:
-            images, tes, tms = next(batches)
-            logs = self.train_step_arrays(images, tes, tms)
-            self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
-            if (self.steps - 1) % self.save_model_every == 0:
+        with PreemptionGuard() as guard:
+            while self.steps < self.num_train_steps and not guard.requested:
+                images, tes, tms = next(batches)
+                logs = self.train_step_arrays(images, tes, tms)
+                self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
+                if (self.steps - 1) % self.save_model_every == 0:
+                    self.save()
+                if (
+                    exists(self.save_results_every)
+                    and (self.steps - 1) % self.save_results_every == 0
+                ):
+                    self.save_sample_results(self.steps - 1)
+                log_fn(logs)
+            if guard.requested:
+                self.print(
+                    f"preemption signal: checkpointing step {self.steps} and exiting"
+                )
                 self.save()
-            if (
-                exists(self.save_results_every)
-                and (self.steps - 1) % self.save_results_every == 0
-            ):
-                self.save_sample_results(self.steps - 1)
-            log_fn(logs)
         wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")
 
@@ -936,18 +951,27 @@ class MaskGitTrainer:
 
         batches = prefetch_iterator(accum_batches(), prefetch)
         try:
-            while self.steps < self.num_train_steps:
-                tokens, tes, tms = next(batches)
-                logs = self.train_step_arrays(tokens, tes, tms)
-                self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
-                if (self.steps - 1) % self.save_model_every == 0:
+            with PreemptionGuard() as guard:
+                while self.steps < self.num_train_steps and not guard.requested:
+                    tokens, tes, tms = next(batches)
+                    logs = self.train_step_arrays(tokens, tes, tms)
+                    self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
+                    if (self.steps - 1) % self.save_model_every == 0:
+                        self.save()
+                    if (
+                        exists(self.save_results_every)
+                        and (self.steps - 1) % self.save_results_every == 0
+                    ):
+                        self.save_sample_results(self.steps - 1)
+                    log_fn(logs)
+                if guard.requested:
+                    # the data stream resumes exactly too: the resume token
+                    # is steps * grad_accum_every (see docstring)
+                    self.print(
+                        f"preemption signal: checkpointing step {self.steps} "
+                        "and exiting"
+                    )
                     self.save()
-                if (
-                    exists(self.save_results_every)
-                    and (self.steps - 1) % self.save_results_every == 0
-                ):
-                    self.save_sample_results(self.steps - 1)
-                log_fn(logs)
         finally:
             batches.close()  # joins the prefetch thread BEFORE the native
             loader.close()   # handle is freed (use-after-free otherwise)
