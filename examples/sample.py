@@ -54,6 +54,11 @@ def main():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-prefix", default="sample")
+    p.add_argument(
+        "--image-size", type=int, default=None,
+        help="generate at a non-native resolution (single-stage only; "
+        "positional grid is resized, must divide by the VAE factor)",
+    )
     args = p.parse_args()
 
     base = load_maskgit(
@@ -87,6 +92,7 @@ def main():
             cond_scale=cond_scale,
             temperature=args.temperature,
             timesteps=args.timesteps,
+            image_size=args.image_size,
         )
         images = to_pil_images(raw)
 

@@ -142,6 +142,7 @@ class MaskGit(nnx.Module):
         neg_text_embeds: Optional[Array] = None,
         cond_images: Optional[Array] = None,
         fmap_size: Optional[int] = None,
+        image_size: Optional[int] = None,
         temperature: float = 1.0,
         topk_filter_thres: float = 0.9,
         can_remask_prev_masked: bool = False,
@@ -188,8 +189,23 @@ class MaskGit(nnx.Module):
         (start, end) tuple — the guidance scale then ramps linearly across
         the decode steps (Muse paper §2.5: low guidance early preserves
         sample diversity, high guidance late sharpens text alignment). A
-        (c, c) tuple is token-exact with the float c."""
+        (c, c) tuple is token-exact with the float c.
+
+        `image_size`: generate at a resolution the model was not trained at
+        (variable-resolution sampling). The transformer's learned positional
+        grid is bilinearly resized to the new latent grid (ViT-style
+        resolution transfer, `Transformer._positions`) and the conv VAE
+        decodes any grid; must be divisible by the VAE's downsampling
+        factor. Equivalent to passing the corresponding `fmap_size`."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
+        if image_size is not None:
+            assert fmap_size is None, "pass image_size or fmap_size, not both"
+            down = 2 ** self.vae.enc_dec.layers
+            assert image_size % down == 0, (
+                f"image_size {image_size} must be divisible by the VAE's "
+                f"downsampling factor {down}"
+            )
+            fmap_size = self.vae.get_encoded_fmap_size(image_size)
         fmap_size = default(
             fmap_size,
             lambda: self.vae.get_encoded_fmap_size(self.image_size),
@@ -404,7 +420,17 @@ class MaskGit(nnx.Module):
         # tokenize if needed
         if jnp.issubdtype(images_or_ids.dtype, jnp.floating):
             assert exists(self.vae), "vqgan vae must be passed in to train from raw images"
-            assert images_or_ids.shape[1] == images_or_ids.shape[2] == self.image_size
+            # square and divisible by the VAE's downsampling factor; not
+            # necessarily self.image_size — multi-resolution training rides
+            # the same positional-grid resize as variable-resolution sampling
+            down = 2 ** self.vae.enc_dec.layers
+            assert (
+                images_or_ids.shape[1] == images_or_ids.shape[2]
+                and images_or_ids.shape[1] % down == 0
+            ), (
+                f"training images must be square and divisible by the VAE's "
+                f"downsampling factor {down}, got {images_or_ids.shape[1:3]}"
+            )
             _, ids, _ = self.vae.encode(
                 jax.lax.stop_gradient(images_or_ids), train=False
             )

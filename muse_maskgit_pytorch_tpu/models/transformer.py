@@ -26,6 +26,7 @@ All randomness (CFG context dropout) uses explicit PRNG keys.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -329,6 +330,32 @@ class Transformer(nnx.Module):
         self.self_cond = self_cond
         self.self_cond_to_init_embed = FeedForward(dim, dtype=dtype, rngs=rngs)
 
+    # -- positions -----------------------------------------------------------
+
+    def _positions(self, n: int) -> Array:
+        """(n, dim) absolute positional embeddings.
+
+        At the trained length this is the learned table (reference :218,
+        :321). For a DIFFERENT square token grid — variable-resolution
+        sampling: a model trained at f x f generating a g x g latent —
+        the trained f x f grid is bilinearly resized to g x g, the standard
+        learned-abs-pos-emb resolution transfer (as in ViT fine-tuning).
+        Non-square lengths keep the legacy prefix contract (n <= seq_len).
+        """
+        if n == self.seq_len:
+            return self.pos_emb(jnp.arange(n))
+        f, g = math.isqrt(self.seq_len), math.isqrt(n)
+        if f * f == self.seq_len and g * g == n:
+            table = self.pos_emb(jnp.arange(self.seq_len))
+            grid = table.reshape(f, f, self.dim).astype(jnp.float32)
+            out = jax.image.resize(grid, (g, g, self.dim), method="bilinear")
+            return out.reshape(n, self.dim).astype(table.dtype)
+        assert n <= self.seq_len, (
+            f"sequence length {n} exceeds the trained {self.seq_len} and is "
+            "not a square grid (only square grids support resolution transfer)"
+        )
+        return self.pos_emb(jnp.arange(n))
+
     # -- text encoding (frozen T5, reference :229-233) -----------------------
 
     def encode_text(self, texts) -> Array:
@@ -556,7 +583,6 @@ class Transformer(nnx.Module):
         context_kv=None,
     ):
         b, n = x.shape
-        assert n <= self.seq_len
 
         assert exists(texts) ^ exists(text_embeds)
         if exists(texts):
@@ -599,7 +625,7 @@ class Transformer(nnx.Module):
             )
 
         # embed tokens
-        h = self.token_emb(x) + self.pos_emb(jnp.arange(n))
+        h = self.token_emb(x) + self._positions(n)
         h = h.astype(self.dtype)
 
         if self.self_cond:
