@@ -3,7 +3,7 @@
 Public API mirrors the reference package exports
 (`/root/reference/muse_maskgit_pytorch/__init__.py:1-4`): `VQGanVAE`,
 `Transformer`, `MaskGit`, `Muse`, `MaskGitTransformer`, `TokenCritic`,
-`VQGanVAETrainer` — plus the framework-native extras (`SelfCritic`, `LFQ`,
+`VQGanVAETrainer` — plus the framework-native extras (`SelfCritic`, `FSQ`, `LFQ`,
 `VectorQuantizeEMA`, `MaskGitTrainer`, sharding helpers).
 """
 
@@ -15,7 +15,7 @@ from muse_maskgit_pytorch_tpu.models.transformer import (
     SelfCritic,
 )
 from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
-from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA
+from muse_maskgit_pytorch_tpu.models.quantizers import FSQ, LFQ, VectorQuantizeEMA
 from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer, MaskGitTrainer
 from muse_maskgit_pytorch_tpu.serving import (
     ExportedPipeline,
@@ -41,6 +41,7 @@ __all__ = [
     "SelfCritic",
     "MaskGit",
     "Muse",
+    "FSQ",
     "LFQ",
     "VectorQuantizeEMA",
     "VQGanVAETrainer",

@@ -1,4 +1,5 @@
-"""Quantizers: Lookup-Free Quantization (LFQ) and EMA Vector Quantization.
+"""Quantizers: Lookup-Free Quantization (LFQ), EMA Vector Quantization, and
+Finite Scalar Quantization (FSQ).
 
 TPU-native re-implementations of the two quantizers the reference pulls in
 from `vector_quantize_pytorch` (`/root/reference/muse_maskgit_pytorch/
@@ -25,7 +26,13 @@ vqgan_vae.py:7,328-342`):
     search runs through the fused Pallas distance+argmax kernel
     (`ops/vq.py`) on TPU.
 
-Both take NHWC feature maps `(b, h, w, dim)` (TPU-native layout; the
+  * `FSQ` — beyond-reference third family (Mentzer et al. 2023, same
+    lineage as LFQ per reference README.md:297-305): per-channel bounded
+    rounding to a fixed mixed-radix grid; no codebook, no aux losses,
+    pure elementwise math — the most XLA/mesh-friendly quantizer here.
+    `VQGanVAE(fsq_levels=(8, 6, 5))` selects it (codebook = prod(levels)).
+
+All take NHWC feature maps `(b, h, w, dim)` (TPU-native layout; the
 reference is NCHW) and return `(quantized, indices, aux_loss)` matching the
 reference quantizer contract (vqgan_vae.py:422-425).
 """
@@ -166,6 +173,115 @@ class LFQ(nnx.Module):
         if self.has_projections:
             out = self.project_out(out)
         return out, indices, aux_loss
+
+
+class FSQ(nnx.Module):
+    """Finite Scalar Quantization (Mentzer et al. 2023, "FSQ: VQ-VAE Made
+    Simple"; the same family as LFQ, cited at reference README.md:297-305).
+
+    Each projected latent channel i is bounded with tanh and rounded to one
+    of `levels[i]` uniformly spaced values; the token index is the
+    mixed-radix code over channels. No codebook, no EMA state, no auxiliary
+    losses (aux_loss is 0) — the most XLA-friendly quantizer of the three:
+    pure elementwise math, nothing to search, nothing to synchronize across
+    a mesh. Gradients flow through a straight-through estimator.
+
+    `levels` per the paper, e.g. (8, 8, 8, 5, 5, 5) -> 64000 codes or
+    (8, 6, 5) -> 240. codebook_size == prod(levels).
+    """
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        levels: Tuple[int, ...],
+        rngs: nnx.Rngs,
+    ):
+        levels = tuple(int(l) for l in levels)
+        assert len(levels) >= 1 and all(l >= 2 for l in levels)
+        self.dim = dim
+        self.levels = levels
+        self.codebook_dim = len(levels)
+        self.codebook_size = int(math.prod(levels))
+        self.has_projections = dim != self.codebook_dim
+        if self.has_projections:
+            self.project_in = nnx.Linear(
+                dim, self.codebook_dim, use_bias=False, rngs=rngs
+            )
+            self.project_out = nnx.Linear(
+                self.codebook_dim, dim, use_bias=False, rngs=rngs
+            )
+
+    # -- static tables ------------------------------------------------------
+
+    def _levels_arr(self) -> Array:
+        return jnp.asarray(self.levels, jnp.float32)
+
+    def _basis(self) -> Array:
+        """Mixed-radix digit weights: index = sum_i digit_i * basis_i."""
+        import numpy as _np
+
+        b = _np.concatenate(([1], _np.cumprod(self.levels[:-1])))
+        return jnp.asarray(b, jnp.int32)
+
+    # -- quantization -------------------------------------------------------
+
+    def _bound(self, z: Array) -> Array:
+        """Squash each channel so rounding lands on exactly `levels[i]`
+        integers. For even level counts the grid is offset by 0.5 (codes at
+        ±0.5, ±1.5, ...), and z is pre-shifted by atanh(offset/half_l) so
+        z = 0 still maps onto a code center."""
+        levels = self._levels_arr()
+        half_l = (levels - 1.0) * (1.0 - 1e-3) / 2.0
+        offset = jnp.where(levels % 2 == 0, 0.5, 0.0)
+        shift = jnp.arctanh(offset / half_l)
+        return jnp.tanh(z + shift) * half_l - offset
+
+    def _quantize_digits(self, z: Array) -> Array:
+        """z (..., codebook_dim) -> integer digits in [0, levels_i)."""
+        half_width = jnp.floor(self._levels_arr() / 2.0)
+        return jnp.round(self._bound(z) + half_width).astype(jnp.int32)
+
+    def _digits_to_values(self, digits: Array) -> Array:
+        """Integer digits -> normalized code values in ~[-1, 1]."""
+        half_width = jnp.floor(self._levels_arr() / 2.0)
+        return (digits.astype(jnp.float32) - half_width) / half_width
+
+    def digits_to_indices(self, digits: Array) -> Array:
+        return jnp.sum(digits * self._basis(), axis=-1)
+
+    def indices_to_digits(self, indices: Array) -> Array:
+        codes = indices[..., None] // self._basis()
+        return codes % jnp.asarray(self.levels, jnp.int32)
+
+    def indices_to_codes(self, indices: Array) -> Array:
+        """Inverse of quantization: indices -> (..., dim) feature vectors
+        (same contract as LFQ.indices_to_codes / reference vqgan_vae.py:431)."""
+        codes = self._digits_to_values(self.indices_to_digits(indices))
+        if self.has_projections:
+            codes = self.project_out(codes)
+        return codes
+
+    # -- forward ------------------------------------------------------------
+
+    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array, Array]:
+        """x: (..., dim) -> (quantized (..., dim), indices (...,), aux 0.0)."""
+        orig_dtype = x.dtype
+        z = self.project_in(x) if self.has_projections else x
+        z = z.astype(jnp.float32)
+
+        digits = self._quantize_digits(z)
+        values = self._digits_to_values(digits)
+        bounded = self._bound(z)
+        half_width = jnp.floor(self._levels_arr() / 2.0)
+        soft = bounded / half_width  # differentiable surrogate of `values`
+        quantized = soft + jax.lax.stop_gradient(values - soft)  # STE
+        indices = self.digits_to_indices(digits)
+
+        out = quantized.astype(orig_dtype)
+        if self.has_projections:
+            out = self.project_out(out)
+        return out, indices, jnp.zeros((), jnp.float32)
 
 
 class VectorQuantizeEMA(nnx.Module):

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from muse_maskgit_pytorch_tpu.models.quantizers import LFQ, VectorQuantizeEMA
+from muse_maskgit_pytorch_tpu.models.quantizers import FSQ, LFQ, VectorQuantizeEMA
 from muse_maskgit_pytorch_tpu.utils.helpers import default, exists, groupby_prefix_and_trim
 
 Array = jax.Array
@@ -301,6 +301,7 @@ class VQGanVAE(nnx.Module):
         vgg: Optional[nnx.Module] = None,
         lookup_free_quantization: bool = True,
         codebook_size: int = 65536,
+        fsq_levels: Optional[tuple] = None,
         vq_kwargs: Optional[dict] = None,
         lfq_kwargs: Optional[dict] = None,
         use_vgg_and_gan: bool = True,
@@ -325,6 +326,12 @@ class VQGanVAE(nnx.Module):
         assert not kwargs, f"unknown kwargs: {sorted(kwargs)}"
         vq_kwargs |= extra_vq_kwargs
 
+        if fsq_levels is not None:
+            # FSQ's vocabulary is determined by its level spec
+            import math as _math
+
+            codebook_size = int(_math.prod(int(l) for l in fsq_levels))
+
         self.channels = channels
         self.codebook_size = codebook_size
         self.dim_divisor = 2**layers
@@ -334,7 +341,14 @@ class VQGanVAE(nnx.Module):
         )
 
         self.lookup_free_quantization = lookup_free_quantization
-        if lookup_free_quantization:
+        if fsq_levels is not None:
+            self.lookup_free_quantization = False
+            self.quantizer = FSQ(
+                dim=self.enc_dec.encoded_dim,
+                levels=tuple(fsq_levels),
+                rngs=rngs,
+            )
+        elif lookup_free_quantization:
             self.quantizer = LFQ(
                 dim=self.enc_dec.encoded_dim,
                 codebook_size=codebook_size,
@@ -443,10 +457,10 @@ class VQGanVAE(nnx.Module):
 
     def decode_from_ids(self, ids: Array) -> Array:
         """ids: (b, h', w') int -> images (b, h, w, c)."""
-        if self.lookup_free_quantization:
-            fmap = self.quantizer.indices_to_codes(ids)
-        else:
+        if isinstance(self.quantizer, VectorQuantizeEMA):
             fmap = self.quantizer.get_codes_from_indices(ids)
+        else:  # LFQ and FSQ share the indices_to_codes contract
+            fmap = self.quantizer.indices_to_codes(ids)
         return self.decode(fmap)
 
     # -- losses (reference vqgan_vae.py:443-534) ------------------------------

@@ -221,3 +221,147 @@ def test_nearest_code_pallas_under_grad(rng):
     ref_idx = np.asarray(nearest_code(x, cb, impl="xla"))
     out_idx = np.asarray(nearest_code(x, cb, impl="pallas", interpret=True))
     np.testing.assert_array_equal(out_idx, ref_idx)
+
+
+# ---------------------------------------------------------------------------
+# FSQ (beyond-reference third quantizer family)
+# ---------------------------------------------------------------------------
+
+
+def test_fsq_roundtrip_and_range(rng):
+    from muse_maskgit_pytorch_tpu.models.quantizers import FSQ
+
+    q = FSQ(dim=16, levels=(8, 6, 5), rngs=nnx.Rngs(0))
+    assert q.codebook_size == 240
+    x = jax.random.normal(rng, (2, 4, 4, 16)) * 3.0
+    out, ids, aux = q(x, train=True)
+    assert out.shape == x.shape and ids.shape == (2, 4, 4)
+    assert float(aux) == 0.0  # FSQ has no auxiliary losses
+    i = np.asarray(ids)
+    assert (i >= 0).all() and (i < 240).all()
+    # indices -> codes reproduces the quantized output exactly
+    codes = q.indices_to_codes(ids)
+    np.testing.assert_allclose(np.asarray(codes), np.asarray(out), atol=1e-5)
+
+
+def test_fsq_digit_codec_bijective():
+    from muse_maskgit_pytorch_tpu.models.quantizers import FSQ
+
+    q = FSQ(dim=3, levels=(4, 3, 2), rngs=nnx.Rngs(0))
+    ids = jnp.arange(q.codebook_size)
+    digits = q.indices_to_digits(ids)
+    # every digit within its radix, and the codec round-trips all 24 codes
+    assert (np.asarray(digits) < np.asarray([4, 3, 2])).all()
+    np.testing.assert_array_equal(np.asarray(q.digits_to_indices(digits)), np.asarray(ids))
+
+
+def test_fsq_no_projection_identity_dim(rng):
+    from muse_maskgit_pytorch_tpu.models.quantizers import FSQ
+
+    q = FSQ(dim=3, levels=(8, 6, 5), rngs=nnx.Rngs(0))
+    assert not q.has_projections
+    x = jax.random.normal(rng, (32, 3))
+    out, ids, _ = q(x, train=True)
+    # quantized values sit on the normalized grid in [-1, 1]
+    o = np.asarray(out)
+    assert (o >= -1.0 - 1e-6).all() and (o <= 1.0 + 1e-6).all()
+    # deterministic: same input -> same ids
+    _, ids2, _ = q(x, train=False)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_fsq_ste_gradient(rng):
+    from muse_maskgit_pytorch_tpu.models.quantizers import FSQ
+
+    q = FSQ(dim=8, levels=(8, 8, 8), rngs=nnx.Rngs(0))
+
+    def loss(x):
+        out, _, _ = q(x, train=True)
+        return jnp.sum(jnp.square(out))
+
+    g = jax.grad(loss)(jax.random.normal(rng, (16, 8)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0  # STE passes gradients through
+
+
+def test_fsq_vae_end_to_end(rng):
+    from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+
+    vae = VQGanVAE(
+        dim=16, layers=2, fsq_levels=(8, 6, 5), use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    assert vae.codebook_size == 240
+    img = jax.random.uniform(rng, (2, 16, 16, 3))
+    fmap, ids, aux = vae.encode(img, train=True)
+    assert ids.shape == (2, 4, 4) and float(aux) == 0.0
+    out = vae.decode_from_ids(ids)
+    assert out.shape == (2, 16, 16, 3)
+    # decode_from_ids goes through the same codes the encoder produced
+    np.testing.assert_allclose(
+        np.asarray(vae.decode(fmap)), np.asarray(out), atol=1e-5
+    )
+
+
+def test_fsq_vae_trains(rng):
+    """Recon loss decreases with an FSQ bottleneck (the no-aux-loss training
+    path: total loss is recon only)."""
+    import optax
+    from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+
+    vae = VQGanVAE(
+        dim=16, layers=2, fsq_levels=(8, 6, 5), use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    img = jax.random.uniform(rng, (4, 16, 16, 3))
+    graphdef, params, rest = nnx.split(vae, nnx.Param, ...)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            m = nnx.merge(graphdef, p, rest)
+            return m(img, return_loss=True, train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_fsq_maskgit_end_to_end(rng):
+    """Full MaskGit stack over an FSQ tokenizer (non-power-of-2 vocab):
+    training loss finite, generated ids stay inside the FSQ vocabulary."""
+    from muse_maskgit_pytorch_tpu.models import t5 as t5mod
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.models.t5 import T5Config
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+    from muse_maskgit_pytorch_tpu.models.vqgan_vae import VQGanVAE
+
+    if "test/tiny-t5" not in t5mod.T5_CONFIGS:
+        t5mod.T5_CONFIGS["test/tiny-t5"] = T5Config(
+            d_model=32, d_ff=64, num_heads=2, d_kv=16, num_layers=2, gated=True
+        )
+    vae = VQGanVAE(
+        dim=16, layers=2, fsq_levels=(8, 6, 5), use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    tr = MaskGitTransformer(
+        num_tokens=vae.codebook_size, dim=32, seq_len=16, depth=1,
+        dim_head=16, heads=2, t5_name="test/tiny-t5", rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(image_size=16, transformer=tr, vae=vae)
+    te = jax.random.normal(rng, (2, 6, 32))
+    loss = mg(jax.random.uniform(rng, (2, 16, 16, 3)), rng=rng, text_embeds=te)
+    assert np.isfinite(float(loss))
+    ids = np.asarray(
+        mg.generate(text_embeds=te, rng=rng, timesteps=3, return_ids=True)
+    )
+    assert (ids >= 0).all() and (ids < vae.codebook_size).all()
