@@ -311,6 +311,28 @@ def exp_batch_knee():
         log(f"  batch {batch:3d}: {ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)")
 
 
+def exp_varres():
+    """Variable-resolution sampling at the reference scale: a model built
+    for 256px (seq 256) generating 192px (seq 144) and 384px (seq 576) via
+    positional-grid resize. Run: python bench_sweep.py varres"""
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(
+        dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False,
+        dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )
+    base = build(256, 256, vae=vae)
+    for image_size, batch in [(256, 32), (192, 32), (384, 16)]:
+        kw = {} if image_size == 256 else {"image_size": image_size}
+        ips, dt = time_generate(base, batch, **kw)
+        seq = (image_size // 16) ** 2
+        log(
+            f"  {image_size}px (seq {seq:4d}) batch {batch}: "
+            f"{ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)"
+        )
+
+
 def exp_train_mfu():
     """MaskGit train-step throughput + model-FLOPs MFU at reference scale
     (ids path, the r2 535 img/s configuration). Amortizes 20 donated steps
@@ -552,5 +574,7 @@ if __name__ == "__main__":
         exp_gan_step()
     elif cmd == "edit":
         exp_edit()
+    elif cmd == "varres":
+        exp_varres()
     else:
         main()

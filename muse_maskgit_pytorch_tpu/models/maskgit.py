@@ -323,6 +323,126 @@ class MaskGit(nnx.Module):
             return ids
         return images
 
+    # -- best-of-K re-ranked generation ---------------------------------------
+
+    def score_samples(
+        self,
+        ids: Array,
+        *,
+        text_embeds: Array,
+        text_mask: Optional[Array] = None,
+        method: str = "auto",
+        attn_impl: str = "auto",
+    ) -> Array:
+        """Per-sample quality score (higher = better) for generated token
+        grids, used by `generate_reranked`.
+
+        `method`:
+          * "critic" — mean P(real) under the trained token critic (one
+            critic forward on the finished grid; requires `token_critic` or
+            `self_token_critic`).
+          * "logprob" — mean token log-likelihood under the generator (one
+            unconditional-CFG forward; the standard model-internal re-rank
+            proxy when no critic was trained).
+          * "auto" — critic if present, else logprob.
+        """
+        if method == "auto":
+            method = "critic" if exists(self.token_critic) else "logprob"
+        b = ids.shape[0]
+        x = ids.reshape(b, -1)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        if method == "critic":
+            assert exists(self.token_critic), "no token critic to score with"
+            crit = self.token_critic(
+                x, text_embeds=text_embeds, text_mask=text_mask, attn_impl=attn_impl
+            )
+            crit = crit.reshape(b, -1).astype(jnp.float32)
+            # critic logit predicts P(token is FAKE) through a sigmoid, so
+            # log P(real) = log_sigmoid(-logit); mean over the grid
+            return jnp.mean(jax.nn.log_sigmoid(-crit), axis=-1)
+        assert method == "logprob", f"unknown score method {method!r}"
+        logits = self.transformer(
+            x, text_embeds=text_embeds, text_mask=text_mask,
+            return_logits=True, attn_impl=attn_impl,
+        ).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, x[..., None], axis=-1)[..., 0]
+        return jnp.mean(tok_logp, axis=-1)
+
+    def generate_reranked(
+        self,
+        texts: Optional[Union[str, List[str]]] = None,
+        rng: Optional[Array] = None,
+        *,
+        num_candidates: int = 4,
+        score_method: str = "auto",
+        text_embeds: Optional[Array] = None,
+        text_mask: Optional[Array] = None,
+        return_ids: bool = False,
+        return_scores: bool = False,
+        **generate_kwargs,
+    ):
+        """Best-of-K sampling: draw `num_candidates` independent samples per
+        prompt, score each with the model's own judgment (`score_samples`),
+        and keep the best one per prompt.
+
+        The Muse paper re-ranks 16 samples per prompt with CLIP (§2.8); with
+        no CLIP weights reachable in this framework's environment the
+        re-ranker is model-internal — the trained token critic (exactly what
+        it was trained to judge) or the generator's token log-likelihood.
+        All K candidates decode in ONE batched jitted program (batch b*K),
+        and only the winners pay the VAE decode.
+        """
+        assert num_candidates >= 1
+        rng = default(rng, lambda: jax.random.PRNGKey(0))
+        if isinstance(texts, str):
+            texts = [texts]
+        if text_embeds is None:
+            assert texts is not None
+            text_embeds = self.transformer.encode_text(texts)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        assert not self.resize_image_for_cond_image, (
+            "generate_reranked targets the base stage (the cascade re-ranks "
+            "at the base, then super-reses the winner — see Muse paper §2.8)"
+        )
+        b, k = text_embeds.shape[0], num_candidates
+
+        # K candidates ride one batched decode: tile prompts
+        te = jnp.repeat(text_embeds, k, axis=0)
+        tm = jnp.repeat(text_mask, k, axis=0)
+        if generate_kwargs.get("neg_text_embeds") is not None:
+            generate_kwargs = dict(generate_kwargs)
+            generate_kwargs["neg_text_embeds"] = jnp.repeat(
+                generate_kwargs["neg_text_embeds"], k, axis=0
+            )
+        ids = self.generate(
+            text_embeds=te, text_mask=tm, rng=rng, return_ids=True,
+            **generate_kwargs,
+        )
+        fmap = ids.shape[-1]
+        scores = self.score_samples(
+            ids,
+            text_embeds=te,
+            text_mask=tm,
+            method=score_method,
+            attn_impl=generate_kwargs.get("attn_impl", "auto"),
+        ).reshape(b, k)
+        best = jnp.argmax(scores, axis=-1)  # (b,)
+        winners = jnp.take_along_axis(
+            ids.reshape(b, k, fmap, fmap), best[:, None, None, None], axis=1
+        )[:, 0]
+        best_scores = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+
+        if return_ids or not exists(self.vae):
+            out = winners
+        else:
+            out = jnp.clip(self.vae.decode_from_ids(winners), 0.0, 1.0)
+        if return_scores:
+            return out, best_scores
+        return out
+
     # -- editing / inpainting (Muse paper §3; MaskGit paper §4.2-4.3) ---------
 
     def edit(
@@ -1052,18 +1172,38 @@ class Muse(nnx.Module):
         return_lowres: bool = False,
         return_pil_images: bool = True,
         attn_impl: str = "auto",
+        rerank_candidates: int = 1,
+        rerank_score: str = "auto",
     ):
+        """`rerank_candidates > 1` re-ranks at the BASE stage (Muse paper
+        §2.8 does the same with CLIP over 16 base samples): K candidates per
+        prompt decode in one batched program, the best by `rerank_score`
+        (critic / token log-likelihood, see `MaskGit.score_samples`) goes on
+        to super-resolution — the expensive seq-1024 stage runs once per
+        prompt, not per candidate."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         k_base, k_sr = jax.random.split(rng)
 
-        lowres_image = self.base_maskgit.generate(
-            texts=texts,
-            rng=k_base,
-            cond_scale=cond_scale,
-            temperature=temperature,
-            timesteps=timesteps,
-            attn_impl=attn_impl,
-        )
+        if rerank_candidates > 1:
+            lowres_image = self.base_maskgit.generate_reranked(
+                texts=texts,
+                rng=k_base,
+                num_candidates=rerank_candidates,
+                score_method=rerank_score,
+                cond_scale=cond_scale,
+                temperature=temperature,
+                timesteps=timesteps,
+                attn_impl=attn_impl,
+            )
+        else:
+            lowres_image = self.base_maskgit.generate(
+                texts=texts,
+                rng=k_base,
+                cond_scale=cond_scale,
+                temperature=temperature,
+                timesteps=timesteps,
+                attn_impl=attn_impl,
+            )
         # B4 fix: clamp decoder output before it conditions the next stage
         lowres_image = jnp.clip(lowres_image, 0.0, 1.0)
 

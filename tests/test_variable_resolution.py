@@ -94,3 +94,22 @@ def test_native_resolution_unchanged_by_feature(rng):
         text_embeds=te, rng=rng, timesteps=3, return_ids=True, image_size=16
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_decode_exact_at_non_native_resolution(rng):
+    """The segmented compact decode must stay token-exact with the full path
+    at a non-native latent grid (segments are computed from the requested
+    fmap, not the trained seq_len). Pinned under injected per-position gumbel
+    noise — the cross-path parity harness of tests/test_compact_decode.py
+    (live PRNG draws differ in shape between the paths by design)."""
+    mg = base_maskgit()
+    te = text_embeds_for(2, rng)
+    T, seq = 4, 36  # 24px over a 4x-downsampling VAE -> 6x6 latents
+    noise = jax.random.gumbel(jax.random.PRNGKey(7), (T, 2, seq, CODEBOOK))
+    kw = dict(
+        text_embeds=te, rng=rng, timesteps=T, image_size=24,
+        return_ids=True, injected_gumbel_noise=noise,
+    )
+    a = mg.generate(compact=True, **kw)
+    b = mg.generate(compact=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
