@@ -426,10 +426,11 @@ def exp_gan_step():
 
     imgs_np = np.random.default_rng(1).uniform(size=(8, 256, 256, 3)).astype(np.float32)
 
-    def arm(dtype, micro, n=10):
+    def arm(dtype, micro, n=10, vgg_dtype=None, discr_dtype=None):
         vae = VQGanVAE(
             dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=True,
-            dtype=dtype, rngs=nnx.Rngs(0),
+            dtype=dtype, vgg_dtype=vgg_dtype, discr_dtype=discr_dtype,
+            rngs=nnx.Rngs(0),
         )
         tr = VQGanVAETrainer(
             vae, folder=None, dataset=_DS(8, 256), num_train_steps=1,
@@ -447,20 +448,27 @@ def exp_gan_step():
                 state, logs = tr._train_step(state, imgs, imgs)
             float(logs["loss"])  # single fetch: honest device-time amortization
             dt = (time.perf_counter() - t0) / n
+            tag = jnp.dtype(dtype).name + (
+                "+vgg_bf16" if vgg_dtype is not None else ""
+            ) + ("+discr_bf16" if discr_dtype is not None else "")
             log(
-                f"  {jnp.dtype(dtype).name} micro-batch {micro}: {dt*1e3:.1f} ms/step "
+                f"  {tag} micro-batch {micro}: {dt*1e3:.1f} ms/step "
                 f"({micro/dt:.1f} img/s), loss={float(logs['loss']):.4f} "
                 f"discr={float(logs['discr_loss']):.4f}"
             )
         except Exception as e:  # e.g. RESOURCE_EXHAUSTED at larger micro-batches
-            log(f"  {jnp.dtype(dtype).name} micro-batch {micro}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            log(f"  {jnp.dtype(dtype).name} (vgg={vgg_dtype}, discr={discr_dtype}) micro-batch {micro}: FAILED {type(e).__name__}: {str(e)[:200]}")
         finally:
             del state, tr, vae
             gc.collect()
 
     arm(jnp.float32, 4)
     arm(jnp.bfloat16, 4)
+    arm(jnp.bfloat16, 4, vgg_dtype=jnp.bfloat16)  # bf16 perceptual tower
     arm(jnp.bfloat16, 8)  # f32 OOMs here on one v5e (r2, BASELINE.md)
+    arm(jnp.bfloat16, 8, vgg_dtype=jnp.bfloat16)
+    # NOT swept: discr_dtype=bf16 — deterministic XLA-TPU compiler SIGSEGV
+    # (R1 grad-of-grad through bf16 convs; 5/5 across 3 processes, r3)
 
 
 def exp_edit():

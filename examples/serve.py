@@ -35,6 +35,10 @@ def main():
     p.add_argument("--text-len", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=50.0)
     p.add_argument(
+        "--rerank", type=int, default=1,
+        help="best-of-K re-ranking per prompt (K candidates per request)",
+    )
+    p.add_argument(
         "--no-warmup", action="store_true",
         help="skip the boot-time compile (first request pays it instead)",
     )
@@ -59,6 +63,7 @@ def main():
     pipe = GeneratePipeline(
         model, batch_size=args.batch_size, timesteps=args.timesteps,
         cond_scale=args.cond_scale, text_len=args.text_len,
+        rerank_candidates=args.rerank,
     )
     server = GenerateServer(
         pipe, host=args.host, port=args.port, max_wait_ms=args.max_wait_ms,

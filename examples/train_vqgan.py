@@ -28,6 +28,15 @@ def main():
     p.add_argument("--results-folder", default="./results")
     p.add_argument("--use-ema-vq", action="store_true", help="EMA vector quantizer instead of LFQ")
     p.add_argument(
+        "--fsq-levels", type=int, nargs="+", default=None,
+        help="FSQ quantizer levels, e.g. 8 8 8 5 5 5 (codebook = product)",
+    )
+    p.add_argument(
+        "--bf16-vgg", action="store_true",
+        help="bf16 compute in the VGG perceptual tower (+5%% GAN step, "
+        "BASELINE.md; losses stay f32)",
+    )
+    p.add_argument(
         "--bf16", action="store_true",
         help="bf16-compute enc/dec with f32 master weights (the reference's "
              "generator-step autocast, trainers.py:315); discr/VGG/losses stay f32",
@@ -55,7 +64,9 @@ def main():
         dim=args.dim,
         codebook_size=args.codebook_size,
         lookup_free_quantization=not args.use_ema_vq,
+        fsq_levels=tuple(args.fsq_levels) if args.fsq_levels else None,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        vgg_dtype=jnp.bfloat16 if args.bf16_vgg else None,
         rngs=nnx.Rngs(0),
     )
 

@@ -50,17 +50,21 @@ def adaptive_avg_pool(x: Array, out_hw: int = 7) -> Array:
 
 
 class VGG16(nnx.Module):
-    def __init__(self, *, rngs: nnx.Rngs):
+    def __init__(self, *, dtype=None, rngs: nnx.Rngs):
+        # dtype = compute dtype (params stay f32): bf16 halves the perceptual
+        # tower's HBM traffic inside the GAN step
         convs = []
         in_ch = 3
         for v in VGG16_CFG:
             if v == "M":
                 continue
-            convs.append(nnx.Conv(in_ch, v, (3, 3), padding=1, rngs=rngs))
+            convs.append(
+                nnx.Conv(in_ch, v, (3, 3), padding=1, dtype=dtype, rngs=rngs)
+            )
             in_ch = v
         self.convs = nnx.List(convs)
-        self.fc1 = nnx.Linear(512 * 7 * 7, 4096, rngs=rngs)
-        self.fc2 = nnx.Linear(4096, 4096, rngs=rngs)
+        self.fc1 = nnx.Linear(512 * 7 * 7, 4096, dtype=dtype, rngs=rngs)
+        self.fc2 = nnx.Linear(4096, 4096, dtype=dtype, rngs=rngs)
 
     def features(self, x: Array) -> Array:
         ci = 0

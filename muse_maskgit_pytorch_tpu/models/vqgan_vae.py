@@ -49,11 +49,13 @@ def safe_div(numer: Array, denom: Array, eps: float = 1e-8) -> Array:
 
 
 def hinge_discr_loss(fake: Array, real: Array) -> Array:
+    # losses are f32 regardless of the towers' compute dtype (gan_dtype)
+    fake, real = fake.astype(jnp.float32), real.astype(jnp.float32)
     return jnp.mean(jax.nn.relu(1 + fake) + jax.nn.relu(1 - real))
 
 
 def hinge_gen_loss(fake: Array) -> Array:
-    return -jnp.mean(fake)
+    return -jnp.mean(fake.astype(jnp.float32))
 
 
 def _log(t: Array, eps: float = 1e-10) -> Array:
@@ -61,11 +63,12 @@ def _log(t: Array, eps: float = 1e-10) -> Array:
 
 
 def bce_discr_loss(fake: Array, real: Array) -> Array:
+    fake, real = fake.astype(jnp.float32), real.astype(jnp.float32)
     return jnp.mean(-_log(1 - jax.nn.sigmoid(fake)) - _log(jax.nn.sigmoid(real)))
 
 
 def bce_gen_loss(fake: Array) -> Array:
-    return jnp.mean(-_log(jax.nn.sigmoid(fake)))
+    return jnp.mean(-_log(jax.nn.sigmoid(fake.astype(jnp.float32))))
 
 
 def gradient_penalty(images: Array, discr_fn, weight: float = 10.0) -> Array:
@@ -74,8 +77,8 @@ def gradient_penalty(images: Array, discr_fn, weight: float = 10.0) -> Array:
     Matches reference `gradient_penalty` (vqgan_vae.py:88-101); torch's
     `create_graph=True` double-backward becomes plain nested `jax.grad`.
     """
-    grads = jax.grad(lambda im: jnp.sum(discr_fn(im)))(images)
-    grads = grads.reshape(grads.shape[0], -1)
+    grads = jax.grad(lambda im: jnp.sum(discr_fn(im).astype(jnp.float32)))(images)
+    grads = grads.reshape(grads.shape[0], -1).astype(jnp.float32)
     return weight * jnp.mean(jnp.square(jnp.linalg.norm(grads, axis=1) - 1))
 
 
@@ -251,25 +254,27 @@ class Discriminator(nnx.Module):
         channels: int = 3,
         groups: int = 16,
         init_kernel_size: int = 5,
+        dtype=None,
         *,
         rngs: nnx.Rngs,
     ):
+        # dtype = conv compute dtype (params f32); GroupNorms stay f32
         pad = init_kernel_size // 2
         self.init_conv = nnx.Conv(
-            channels, dims[0], (init_kernel_size,) * 2, padding=pad, rngs=rngs
+            channels, dims[0], (init_kernel_size,) * 2, padding=pad, dtype=dtype, rngs=rngs
         )
         convs, norms = [], []
         for dim_in, dim_out in zip(dims[:-1], dims[1:]):
             convs.append(
-                nnx.Conv(dim_in, dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), rngs=rngs)
+                nnx.Conv(dim_in, dim_out, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=dtype, rngs=rngs)
             )
             norms.append(nnx.GroupNorm(dim_out, num_groups=groups, rngs=rngs))
         self.convs = nnx.List(convs)
         self.norms = nnx.List(norms)
         dim = dims[-1]
         # PatchGAN-style 5x5 logit map head (vqgan_vae.py:171-175)
-        self.to_logits_conv1 = nnx.Conv(dim, dim, (1, 1), rngs=rngs)
-        self.to_logits_conv2 = nnx.Conv(dim, 1, (4, 4), padding="VALID", rngs=rngs)
+        self.to_logits_conv1 = nnx.Conv(dim, dim, (1, 1), dtype=dtype, rngs=rngs)
+        self.to_logits_conv2 = nnx.Conv(dim, 1, (4, 4), padding="VALID", dtype=dtype, rngs=rngs)
 
     def __call__(self, x: Array) -> Array:
         x = leaky_relu(self.init_conv(x))
@@ -307,9 +312,18 @@ class VQGanVAE(nnx.Module):
         use_vgg_and_gan: bool = True,
         discr_layers: int = 4,
         dtype=jnp.float32,
+        vgg_dtype=None,
+        discr_dtype=None,
         rngs: nnx.Rngs,
         **kwargs,
     ):
+        # `dtype` is the enc/dec compute dtype; `vgg_dtype`/`discr_dtype`
+        # (default f32) separately control the loss towers' compute. bf16
+        # VGG is a measured +5% on the reference-scale GAN step (BASELINE.md
+        # r3); bf16 DISCRIMINATOR deterministically crashes the current v5e
+        # XLA compiler (SIGSEGV in the R1 grad-of-grad through bf16 convs) —
+        # the knob exists for other toolchains but is not recommended here.
+        # Losses and GroupNorms compute f32 regardless.
         vq_kwargs = dict(
             codebook_dim=256,
             decay=0.8,
@@ -363,6 +377,7 @@ class VQGanVAE(nnx.Module):
                 **vq_kwargs,
             )
 
+        self.vgg_dtype = vgg_dtype
         self.l2_recon_loss = l2_recon_loss
         self.use_hinge_loss = use_hinge_loss
         self.use_vgg_and_gan = use_vgg_and_gan
@@ -378,7 +393,9 @@ class VQGanVAE(nnx.Module):
         layer_mults = [2**t for t in range(discr_layers)]
         layer_dims = [dim * mult for mult in layer_mults]
         dims = (dim, *layer_dims)
-        self.discr = Discriminator(dims=dims, channels=channels, rngs=rngs)
+        self.discr = Discriminator(
+            dims=dims, channels=channels, dtype=discr_dtype, rngs=rngs
+        )
 
     # -- properties ----------------------------------------------------------
 
@@ -398,7 +415,7 @@ class VQGanVAE(nnx.Module):
         if self._vgg is None:
             from muse_maskgit_pytorch_tpu.models.vgg import VGG16
 
-            self._vgg = nnx.data(VGG16(rngs=nnx.Rngs(0)))
+            self._vgg = nnx.data(VGG16(dtype=self.vgg_dtype, rngs=nnx.Rngs(0)))
         return self._vgg
 
     def set_vgg(self, vgg: nnx.Module):
@@ -531,7 +548,12 @@ class VQGanVAE(nnx.Module):
 
         img_vgg_feats = self.vgg(img_vgg_in)
         recon_vgg_feats = self.vgg(recon_vgg_in)
-        perceptual_loss = jnp.mean(jnp.square(img_vgg_feats - recon_vgg_feats))
+        perceptual_loss = jnp.mean(
+            jnp.square(
+                img_vgg_feats.astype(jnp.float32)
+                - recon_vgg_feats.astype(jnp.float32)
+            )
+        )
 
         gen_loss_fn = hinge_gen_loss if self.use_hinge_loss else bce_gen_loss
         gen_loss = gen_loss_fn(self.discr(recon))
@@ -550,7 +572,12 @@ class VQGanVAE(nnx.Module):
                 r = recon_of_w(w)
                 if channels == 1:
                     r = jnp.repeat(r, 3, axis=-1)
-                return jnp.mean(jnp.square(img_feats_sg - self.vgg(r)))
+                return jnp.mean(
+                    jnp.square(
+                        img_feats_sg.astype(jnp.float32)
+                        - self.vgg(r).astype(jnp.float32)
+                    )
+                )
 
             def gen_of_w(w):
                 return gen_loss_fn(self.discr(recon_of_w(w)))

@@ -89,6 +89,8 @@ class GeneratePipeline:
         negative_prompt: Optional[str] = None,
         compile_cache: Union[bool, str, None] = True,
         mesh=None,
+        rerank_candidates: int = 1,
+        rerank_score: str = "auto",
     ):
         # cold-start story: persistent XLA compile cache ON by default — a
         # restarted server deserializes the cascade executables instead of
@@ -121,6 +123,11 @@ class GeneratePipeline:
         self.text_len = text_len
         self.return_pil = return_pil
         self.negative_prompt = negative_prompt
+        # best-of-K: each request batch decodes batch_size * K candidates in
+        # one fixed-shape program and serves the per-prompt winners
+        assert rerank_candidates >= 1
+        self.rerank_candidates = rerank_candidates
+        self.rerank_score = rerank_score
         self._rng = jax.random.PRNGKey(seed)
         self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
 
@@ -177,16 +184,27 @@ class GeneratePipeline:
                 return self._generate_batch_inner(embeds, mask)
         return self._generate_batch_inner(embeds, mask)
 
+    def _base_generate(self, base, embeds, mask, key):
+        """Base-stage generate, re-ranked when the pipeline asks for it."""
+        common = dict(
+            neg_text_embeds=self._neg_embeds(),
+            timesteps=self.timesteps, cond_scale=self.cond_scale,
+            temperature=self.temperature,
+        )
+        if self.rerank_candidates > 1:
+            return base.generate_reranked(
+                text_embeds=embeds, text_mask=mask, rng=key,
+                num_candidates=self.rerank_candidates,
+                score_method=self.rerank_score,
+                **common,
+            )
+        return base.generate(text_embeds=embeds, text_mask=mask, rng=key, **common)
+
     def _generate_batch_inner(self, embeds, mask):
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
-            low = self.model.base_maskgit.generate(
-                text_embeds=embeds, text_mask=mask, rng=k1,
-                neg_text_embeds=self._neg_embeds(),
-                timesteps=self.timesteps, cond_scale=self.cond_scale,
-                temperature=self.temperature,
-            )
+            low = self._base_generate(self.model.base_maskgit, embeds, mask, k1)
             low = jnp.clip(low, 0.0, 1.0)
             return self.model.superres_maskgit.generate(
                 text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
@@ -194,12 +212,7 @@ class GeneratePipeline:
                 timesteps=self.timesteps, cond_scale=self.cond_scale,
                 temperature=self.temperature,
             )
-        return self.model.generate(
-            text_embeds=embeds, text_mask=mask, rng=key,
-            neg_text_embeds=self._neg_embeds(),
-            timesteps=self.timesteps, cond_scale=self.cond_scale,
-            temperature=self.temperature,
-        )
+        return self._base_generate(self.model, embeds, mask, key)
 
     # -- public ----------------------------------------------------------------
 

@@ -282,3 +282,22 @@ def test_pipeline_edit_applies_negative_prompt(monkeypatch):
     out = pipe.edit(images, masks, ["a", "b"])
     assert out.shape == (2, 16, 16, 3)
     assert seen["neg"] is not None and seen["neg"].shape[0] == 2
+
+
+def test_pipeline_rerank_candidates():
+    """rerank_candidates=K serves the per-prompt winner of K batched
+    candidates (model-internal best-of-K; see MaskGit.generate_reranked)."""
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        rerank_candidates=3, rerank_score="logprob", compile_cache=False,
+        seed=5,
+    )
+    out = pipe(["a cat", "a dog"])
+    assert out.shape == (2, 16, 16, 3) and out.dtype == np.uint8
+    # a plain pipeline from the same seed produces different (unreranked)
+    # images, proving the rerank path actually ran
+    plain = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=5,
+    )
+    assert not np.array_equal(out, plain(["a cat", "a dog"]))

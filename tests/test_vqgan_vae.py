@@ -183,3 +183,21 @@ def test_encdec_remat_matches_grads(rng):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_bf16_loss_towers_losses_stay_f32(rng):
+    """vgg_dtype / discr_dtype = bf16: both GAN phases train with finite f32
+    losses (losses upcast regardless of tower compute dtype), and the
+    gradient-penalty cond branches agree in dtype."""
+    import jax.numpy as jnp
+
+    vae = VQGanVAE(
+        dim=16, layers=2, codebook_size=64, vgg_dtype=jnp.bfloat16,
+        discr_dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )
+    img = jax.random.uniform(rng, (2, 16, 16, 3))
+    gen = vae(img, return_loss=True, train=True)
+    assert gen.dtype == jnp.float32 and np.isfinite(float(gen))
+    for gp in (True, False):
+        d = vae(img, return_discr_loss=True, add_gradient_penalty=gp, train=False)
+        assert d.dtype == jnp.float32 and np.isfinite(float(d))
