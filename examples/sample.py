@@ -73,6 +73,9 @@ def main():
     )
 
     if args.superres_checkpoint:
+        if args.image_size is not None:
+            p.error("--image-size applies to single-stage sampling only "
+                    "(the cascade's stage resolutions are fixed by its models)")
         sr = load_maskgit(
             args.superres_checkpoint, args.vae_dim, args.codebook_size, 512,
             args.dim, args.depth, args.t5_name, cond_image_size=256,

@@ -200,7 +200,7 @@ class MaskGit(nnx.Module):
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         if image_size is not None:
             assert fmap_size is None, "pass image_size or fmap_size, not both"
-            down = 2 ** self.vae.enc_dec.layers
+            down = self.vae.dim_divisor
             assert image_size % down == 0, (
                 f"image_size {image_size} must be divisible by the VAE's "
                 f"downsampling factor {down}"
@@ -391,8 +391,9 @@ class MaskGit(nnx.Module):
         no CLIP weights reachable in this framework's environment the
         re-ranker is model-internal — the trained token critic (exactly what
         it was trained to judge) or the generator's token log-likelihood.
-        All K candidates decode in ONE batched jitted program (batch b*K),
-        and only the winners pay the VAE decode.
+        All K candidates decode in ONE batched jitted program (batch b*K);
+        scoring + winner selection + the winners' VAE decode run as a second
+        jitted program, so nothing here dispatches eagerly.
         """
         assert num_candidates >= 1
         rng = default(rng, lambda: jax.random.PRNGKey(0))
@@ -407,6 +408,13 @@ class MaskGit(nnx.Module):
             "generate_reranked targets the base stage (the cascade re-ranks "
             "at the base, then super-reses the winner — see Muse paper §2.8)"
         )
+        # per-sample arrays we do not tile to b*K: reject loudly instead of
+        # crashing with an opaque shape error inside the decode
+        for bad in ("known_token_ids", "known_mask", "injected_gumbel_noise"):
+            assert generate_kwargs.get(bad) is None, (
+                f"{bad} is per-sample and not supported by generate_reranked; "
+                "call generate() and score_samples() directly"
+            )
         b, k = text_embeds.shape[0], num_candidates
 
         # K candidates ride one batched decode: tile prompts
@@ -421,24 +429,27 @@ class MaskGit(nnx.Module):
             text_embeds=te, text_mask=tm, rng=rng, return_ids=True,
             **generate_kwargs,
         )
-        fmap = ids.shape[-1]
-        scores = self.score_samples(
+        method = score_method
+        if method == "auto":
+            method = "critic" if exists(self.token_critic) else "logprob"
+        # score + select + winner-decode run as ONE jitted program: eagerly
+        # they would be a per-op dispatch storm (a full transformer forward +
+        # VAE decode) on remote/tunneled runtimes
+        graphdef, state = nnx.split(self)
+        winners, best_scores, images = _rerank_select_jit(
+            graphdef,
+            state,
             ids,
-            text_embeds=te,
-            text_mask=tm,
-            method=score_method,
+            te,
+            tm,
+            b=b,
+            k=k,
+            method=method,
             attn_impl=generate_kwargs.get("attn_impl", "auto"),
-        ).reshape(b, k)
-        best = jnp.argmax(scores, axis=-1)  # (b,)
-        winners = jnp.take_along_axis(
-            ids.reshape(b, k, fmap, fmap), best[:, None, None, None], axis=1
-        )[:, 0]
-        best_scores = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+            decode=not return_ids and exists(self.vae),
+        )
 
-        if return_ids or not exists(self.vae):
-            out = winners
-        else:
-            out = jnp.clip(self.vae.decode_from_ids(winners), 0.0, 1.0)
+        out = winners if (return_ids or not exists(self.vae)) else images
         if return_scores:
             return out, best_scores
         return out
@@ -543,7 +554,7 @@ class MaskGit(nnx.Module):
             # square and divisible by the VAE's downsampling factor; not
             # necessarily self.image_size — multi-resolution training rides
             # the same positional-grid resize as variable-resolution sampling
-            down = 2 ** self.vae.enc_dec.layers
+            down = self.vae.dim_divisor
             assert (
                 images_or_ids.shape[1] == images_or_ids.shape[2]
                 and images_or_ids.shape[1] % down == 0
@@ -686,6 +697,29 @@ class MaskGit(nnx.Module):
             attn_impl=attn_impl,
         )
         return ce_loss + self.critic_loss_weight * bce_loss
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b", "k", "method", "attn_impl", "decode")
+)
+def _rerank_select_jit(graphdef, state, ids, te, tm, *, b, k, method, attn_impl, decode):
+    """Score all b*k candidates, pick the per-prompt winner, decode it —
+    one compiled program (see `MaskGit.generate_reranked`)."""
+    model = nnx.merge(graphdef, state)
+    fmap = ids.shape[-1]
+    scores = model.score_samples(
+        ids, text_embeds=te, text_mask=tm, method=method, attn_impl=attn_impl
+    ).reshape(b, k)
+    best = jnp.argmax(scores, axis=-1)  # (b,)
+    winners = jnp.take_along_axis(
+        ids.reshape(b, k, fmap, fmap), best[:, None, None, None], axis=1
+    )[:, 0]
+    best_scores = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+    if decode:
+        images = jnp.clip(model.vae.decode_from_ids(winners), 0.0, 1.0)
+    else:
+        images = jnp.zeros((b, 1, 1, 1))
+    return winners, best_scores, images
 
 
 @functools.lru_cache(maxsize=64)

@@ -232,7 +232,11 @@ class FSQ(nnx.Module):
         ±0.5, ±1.5, ...), and z is pre-shifted by atanh(offset/half_l) so
         z = 0 still maps onto a code center."""
         levels = self._levels_arr()
-        half_l = (levels - 1.0) * (1.0 - 1e-3) / 2.0
+        # (1 + eps), not (1 - eps): with a 2-level channel half_l must stay
+        # ABOVE offset=0.5 or arctanh(offset/half_l) is NaN; the slight
+        # overshoot cannot push a rounded digit out of range (max bounded
+        # value is half_width + eps', which rounds back to half_width)
+        half_l = (levels - 1.0) * (1.0 + 1e-3) / 2.0
         offset = jnp.where(levels % 2 == 0, 0.5, 0.0)
         shift = jnp.arctanh(offset / half_l)
         return jnp.tanh(z + shift) * half_l - offset

@@ -101,11 +101,7 @@ def test_muse_cascade_reranks_base_stage(rng):
     from tests.test_maskgit import superres_maskgit
 
     muse = Muse(base_maskgit(), superres_maskgit())
-    out = muse(
-        None, rng=rng, timesteps=2, return_pil_images=False,
-        rerank_candidates=2, rerank_score="logprob",
-    ) if False else None
-    # texts must go through encode_text; use a stubbed encoder instead
+    # texts must go through encode_text; use a stubbed encoder
     base = muse.base_maskgit
     te = text_embeds_for(2, rng)
     base.transformer.encode_text = lambda texts: te

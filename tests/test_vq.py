@@ -365,3 +365,19 @@ def test_fsq_maskgit_end_to_end(rng):
         mg.generate(text_embeds=te, rng=rng, timesteps=3, return_ids=True)
     )
     assert (ids >= 0).all() and (ids < vae.codebook_size).all()
+
+
+def test_fsq_two_level_channels_finite(rng):
+    """Regression: levels containing 2 (half_l must stay above the 0.5 grid
+    offset or arctanh goes NaN) — all channels finite, full digit range used."""
+    from muse_maskgit_pytorch_tpu.models.quantizers import FSQ
+
+    q = FSQ(dim=3, levels=(4, 3, 2), rngs=nnx.Rngs(0))
+    x = jax.random.normal(rng, (512, 3)) * 4.0
+    out, ids, _ = q(x, train=True)
+    assert np.isfinite(np.asarray(out)).all()
+    i = np.asarray(ids)
+    assert (i >= 0).all() and (i < 24).all()
+    digs = np.asarray(q._quantize_digits(x))
+    for c, l in enumerate((4, 3, 2)):
+        assert set(np.unique(digs[:, c])) == set(range(l)), (c, np.unique(digs[:, c]))
