@@ -148,7 +148,7 @@ class MaskGit(nnx.Module):
         can_remask_prev_masked: bool = False,
         force_not_use_token_critic: bool = False,
         timesteps: int = 18,  # ideal number of steps is 18 (maskgit paper)
-        cond_scale: Union[float, tuple] = 3.0,
+        cond_scale: Union[float, tuple, Array] = 3.0,
         critic_noise_scale: float = 1.0,
         return_ids: bool = False,
         attn_impl: str = "auto",
@@ -185,11 +185,14 @@ class MaskGit(nnx.Module):
         Most callers want the `edit()` wrapper, which handles image
         encoding and pixel→token mask downsampling.
 
-        `cond_scale`: a float (constant guidance, reference behavior) or a
+        `cond_scale`: a float (constant guidance, reference behavior), a
         (start, end) tuple — the guidance scale then ramps linearly across
         the decode steps (Muse paper §2.5: low guidance early preserves
-        sample diversity, high guidance late sharpens text alignment). A
-        (c, c) tuple is token-exact with the float c.
+        sample diversity, high guidance late sharpens text alignment) — or
+        a jax/numpy value (scalar or per-step (timesteps,) array), which
+        makes the scale a TRACED input: one compiled program serves any
+        guidance value (no recompile per setting). All three agree
+        token-exactly at the same value.
 
         `image_size`: generate at a resolution the model was not trained at
         (variable-resolution sampling). The transformer's learned positional
@@ -293,6 +296,18 @@ class MaskGit(nnx.Module):
                 self.noise_schedule, fmap_size * fmap_size, timesteps
             )
 
+        # traced guidance: a jax/np value (scalar or per-step (T,) array)
+        # instead of a python float/tuple makes the scale a program INPUT —
+        # one compiled decode serves every guidance value (per-request
+        # cond_scale in serving without recompiles). Token-exact with the
+        # static path at the same value.
+        scale_schedule = None
+        if not isinstance(cond_scale, (int, float, tuple)):
+            arr = jnp.asarray(cond_scale, jnp.float32)
+            assert arr.ndim <= 1, "cond_scale array must be a scalar or (timesteps,)"
+            scale_schedule = jnp.broadcast_to(arr, (timesteps,))
+            cond_scale = "dynamic"
+
         graphdef, state = nnx.split(self)
         ids, images = _generate_jit(
             graphdef,
@@ -305,6 +320,7 @@ class MaskGit(nnx.Module):
             injected_gumbel_noise,
             known_token_ids,
             known_mask,
+            scale_schedule,
             fmap_size=fmap_size,
             temperature=temperature,
             topk_filter_thres=topk_filter_thres,
@@ -823,6 +839,7 @@ def _generate_jit(
     injected_gumbel_noise,
     known_ids=None,
     known_mask=None,
+    scale_schedule=None,
     *,
     fmap_size,
     temperature,
@@ -853,9 +870,17 @@ def _generate_jit(
     # all steps); a plain float reproduces the constant-scale behavior
     # bit-exactly. The doubled-batch CFG structure is a STATIC decision:
     # scheduled guidance always runs doubled.
-    scheduled = isinstance(cond_scale, tuple)
+    # cond_scale == "dynamic" (static sentinel): the actual scale arrives as
+    # the TRACED `scale_schedule` array, so one compiled program serves any
+    # guidance value — serving changes cond_scale per call without paying a
+    # recompile. Token-exact with the static path at the same value (the
+    # (c, c)-tuple equivalence, tests/test_guidance_schedule.py).
+    dynamic = cond_scale == "dynamic"
+    scheduled = dynamic or isinstance(cond_scale, tuple)
     cfg_on = scheduled or cond_scale != 1
-    if scheduled:
+    if dynamic:
+        scale_per_step = scale_schedule.astype(jnp.float32)
+    elif isinstance(cond_scale, tuple):
         scale_per_step = jnp.linspace(
             float(cond_scale[0]), float(cond_scale[1]), timesteps
         )

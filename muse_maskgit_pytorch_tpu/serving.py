@@ -177,18 +177,19 @@ class GeneratePipeline:
             self._neg_embeds_cache = embeds
         return self._neg_embeds_cache
 
-    def _generate_batch(self, embeds, mask):
+    def _generate_batch(self, embeds, mask, cond_scale=None):
         if self.mesh is not None:
             embeds, mask = shard_batch((embeds, mask), self.mesh, self._data_axis)
             with self.mesh:
-                return self._generate_batch_inner(embeds, mask)
-        return self._generate_batch_inner(embeds, mask)
+                return self._generate_batch_inner(embeds, mask, cond_scale)
+        return self._generate_batch_inner(embeds, mask, cond_scale)
 
-    def _base_generate(self, base, embeds, mask, key):
+    def _base_generate(self, base, embeds, mask, key, cond_scale=None):
         """Base-stage generate, re-ranked when the pipeline asks for it."""
         common = dict(
             neg_text_embeds=self._neg_embeds(),
-            timesteps=self.timesteps, cond_scale=self.cond_scale,
+            timesteps=self.timesteps,
+            cond_scale=self.cond_scale if cond_scale is None else cond_scale,
             temperature=self.temperature,
         )
         if self.rerank_candidates > 1:
@@ -200,19 +201,22 @@ class GeneratePipeline:
             )
         return base.generate(text_embeds=embeds, text_mask=mask, rng=key, **common)
 
-    def _generate_batch_inner(self, embeds, mask):
+    def _generate_batch_inner(self, embeds, mask, cond_scale=None):
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
-            low = self._base_generate(self.model.base_maskgit, embeds, mask, k1)
+            low = self._base_generate(
+                self.model.base_maskgit, embeds, mask, k1, cond_scale
+            )
             low = jnp.clip(low, 0.0, 1.0)
             return self.model.superres_maskgit.generate(
                 text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
                 neg_text_embeds=self._neg_embeds(),
-                timesteps=self.timesteps, cond_scale=self.cond_scale,
+                timesteps=self.timesteps,
+                cond_scale=self.cond_scale if cond_scale is None else cond_scale,
                 temperature=self.temperature,
             )
-        return self._base_generate(self.model, embeds, mask, key)
+        return self._base_generate(self.model, embeds, mask, key, cond_scale)
 
     # -- public ----------------------------------------------------------------
 
@@ -225,9 +229,15 @@ class GeneratePipeline:
         _ = float(out.sum())  # full barrier on lazy runtimes
         return time.perf_counter() - t0
 
-    def __call__(self, prompts: Union[str, List[str]]):
+    def __call__(self, prompts: Union[str, List[str]], cond_scale=None):
+        """`cond_scale`: optional per-call guidance override. The value is
+        passed as a TRACED scalar, so every override shares ONE compiled
+        program (generate()'s dynamic-scale path — no recompile per
+        setting); None uses the pipeline default via the static program."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if cond_scale is not None:
+            cond_scale = jnp.float32(cond_scale)
         n = len(prompts)
         self.stats["requests"] += 1
 
@@ -239,7 +249,7 @@ class GeneratePipeline:
 
             embeds, mask = self._encode_prompts(chunk_padded)
             t0 = time.perf_counter()
-            imgs = self._generate_batch(embeds, mask)
+            imgs = self._generate_batch(embeds, mask, cond_scale)
             # quantize to uint8 ON DEVICE before the host fetch: the f32
             # images are 4x the bytes for no benefit (PIL needs uint8), and
             # device->host bandwidth is the serving bottleneck on remote

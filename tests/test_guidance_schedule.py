@@ -89,3 +89,43 @@ def test_kernel_traced_scale_matches_static():
     )
     np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_t))
     np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob_t), rtol=1e-6)
+
+
+def test_dynamic_scale_matches_static(rng):
+    """A jax-scalar cond_scale (traced input) is token-exact with the same
+    static float, and new values do NOT recompile the decode program."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    mg = base_maskgit()
+    te = text_embeds_for(2, rng)
+    for v in (3.0, 7.5):
+        a = mg.generate(
+            text_embeds=te, rng=rng, timesteps=3, cond_scale=v, return_ids=True
+        )
+        b = mg.generate(
+            text_embeds=te, rng=rng, timesteps=3, cond_scale=jnp.float32(v),
+            return_ids=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    n0 = _generate_jit._cache_size()
+    mg.generate(
+        text_embeds=te, rng=rng, timesteps=3, cond_scale=jnp.float32(1.25),
+        return_ids=True,
+    )
+    assert _generate_jit._cache_size() == n0, "dynamic scale must not recompile"
+
+
+def test_dynamic_per_step_scale_array_matches_tuple(rng):
+    # a traced (timesteps,) schedule == the static (start, end) ramp
+    mg = base_maskgit()
+    te = text_embeds_for(2, rng)
+    T = 4
+    a = mg.generate(
+        text_embeds=te, rng=rng, timesteps=T, cond_scale=(1.0, 4.0),
+        return_ids=True,
+    )
+    b = mg.generate(
+        text_embeds=te, rng=rng, timesteps=T,
+        cond_scale=jnp.linspace(1.0, 4.0, T), return_ids=True,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

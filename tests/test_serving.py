@@ -301,3 +301,34 @@ def test_pipeline_rerank_candidates():
         compile_cache=False, seed=5,
     )
     assert not np.array_equal(out, plain(["a cat", "a dog"]))
+
+
+def test_pipeline_rerank_with_mesh():
+    """rerank composes with data-parallel serving: the b*K candidate batch
+    shards over the data axis and the winners come back per prompt."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh
+
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=8, timesteps=2, text_len=16, return_pil=False,
+        rerank_candidates=2, rerank_score="logprob", compile_cache=False,
+        mesh=create_mesh(),
+    )
+    out = pipe([f"p{i}" for i in range(8)])
+    assert out.shape == (8, 16, 16, 3)
+
+
+def test_pipeline_per_call_cond_scale():
+    """pipe(prompts, cond_scale=v) overrides guidance per call through the
+    traced-scale path: different values change the output, and repeated
+    overrides share one compiled program."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=9,
+    )
+    a = pipe(["a", "b"], cond_scale=1.0)
+    n0 = _generate_jit._cache_size()
+    b = pipe(["a", "b"], cond_scale=8.0)
+    assert _generate_jit._cache_size() == n0  # traced: no recompile
+    assert not np.array_equal(a, b)  # guidance actually applied
