@@ -331,6 +331,14 @@ def exp_varres():
             f"  {image_size}px (seq {seq:4d}) batch {batch}: "
             f"{ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)"
         )
+    # rectangular aspect ratios (anisotropic pos-grid resize; same scan)
+    for (h, w), batch in [((192, 320), 32), ((320, 192), 32)]:
+        ips, dt = time_generate(base, batch, image_size=(h, w))
+        seq = (h // 16) * (w // 16)
+        log(
+            f"  {h}x{w}px (seq {seq:4d}) batch {batch}: "
+            f"{ips:8.2f} img/s  ({dt*1000:.0f} ms/batch)"
+        )
 
 
 def exp_train_mfu():

@@ -33,6 +33,14 @@ def load_maskgit(ckpt, vae_dim, codebook_size, image_size, dim, depth, t5_name, 
     return mg
 
 
+def _size(s):
+    """Parse --image-size: '256' (square) or '192x256' ((h, w) rectangular)."""
+    if "x" in s:
+        h, w = s.split("x", 1)
+        return (int(h), int(w))
+    return int(s)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("prompts", nargs="+")
@@ -55,9 +63,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-prefix", default="sample")
     p.add_argument(
-        "--image-size", type=int, default=None,
-        help="generate at a non-native resolution (single-stage only; "
-        "positional grid is resized, must divide by the VAE factor)",
+        "--image-size", type=_size, default=None, metavar="N|HxW",
+        help="generate at a non-native resolution — an int, or HxW for a "
+        "non-square aspect ratio (positional grid is resized, must divide "
+        "by the VAE factor; for the cascade this is the BASE resolution, "
+        "super-res scales it by the trained ratio)",
     )
     args = p.parse_args()
 
@@ -73,9 +83,6 @@ def main():
     )
 
     if args.superres_checkpoint:
-        if args.image_size is not None:
-            p.error("--image-size applies to single-stage sampling only "
-                    "(the cascade's stage resolutions are fixed by its models)")
         sr = load_maskgit(
             args.superres_checkpoint, args.vae_dim, args.codebook_size, 512,
             args.dim, args.depth, args.t5_name, cond_image_size=256,
@@ -84,6 +91,7 @@ def main():
         images = muse(
             args.prompts, rng=rng, cond_scale=cond_scale,
             temperature=args.temperature, timesteps=args.timesteps,
+            image_size=args.image_size,
         )
     else:
         raw = base.generate(

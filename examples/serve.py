@@ -42,9 +42,15 @@ def main():
         "--no-warmup", action="store_true",
         help="skip the boot-time compile (first request pays it instead)",
     )
+    p.add_argument(
+        "--image-size", default=None, metavar="N|HxW",
+        help="serve a non-native output resolution — an int, or HxW for a "
+        "non-square aspect ratio (base-stage size; a cascade scales it by "
+        "its trained ratio). One compiled shape per server, as always.",
+    )
     args = p.parse_args()
 
-    from examples.sample import load_maskgit
+    from examples.sample import _size, load_maskgit
     from muse_maskgit_pytorch_tpu import GeneratePipeline, GenerateServer, Muse
 
     base = load_maskgit(
@@ -64,6 +70,7 @@ def main():
         model, batch_size=args.batch_size, timesteps=args.timesteps,
         cond_scale=args.cond_scale, text_len=args.text_len,
         rerank_candidates=args.rerank,
+        image_size=_size(args.image_size) if args.image_size else None,
     )
     server = GenerateServer(
         pipe, host=args.host, port=args.port, max_wait_ms=args.max_wait_ms,

@@ -28,7 +28,7 @@ Reference bugs fixed (SURVEY.md §2.4):
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Union
+from typing import Callable, List, Optional, Tuple, Union
 
 import chex
 import jax
@@ -141,8 +141,8 @@ class MaskGit(nnx.Module):
         negative_texts: Optional[List[str]] = None,
         neg_text_embeds: Optional[Array] = None,
         cond_images: Optional[Array] = None,
-        fmap_size: Optional[int] = None,
-        image_size: Optional[int] = None,
+        fmap_size: Optional[Union[int, Tuple[int, int]]] = None,
+        image_size: Optional[Union[int, Tuple[int, int]]] = None,
         temperature: float = 1.0,
         topk_filter_thres: float = 0.9,
         can_remask_prev_masked: bool = False,
@@ -199,19 +199,34 @@ class MaskGit(nnx.Module):
         grid is bilinearly resized to the new latent grid (ViT-style
         resolution transfer, `Transformer._positions`) and the conv VAE
         decodes any grid; must be divisible by the VAE's downsampling
-        factor. Equivalent to passing the corresponding `fmap_size`."""
+        factor. Equivalent to passing the corresponding `fmap_size`. An
+        `(h, w)` tuple generates at a non-square ASPECT RATIO (portrait /
+        landscape) — the square positional grid resizes anisotropically to
+        the rectangular latent grid; output is (b, h, w, 3)."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         if image_size is not None:
             assert fmap_size is None, "pass image_size or fmap_size, not both"
+            ih, iw = (
+                (int(image_size[0]), int(image_size[1]))
+                if isinstance(image_size, (tuple, list))
+                else (int(image_size), int(image_size))
+            )
             down = self.vae.dim_divisor
-            assert image_size % down == 0, (
+            assert ih % down == 0 and iw % down == 0, (
                 f"image_size {image_size} must be divisible by the VAE's "
                 f"downsampling factor {down}"
             )
-            fmap_size = self.vae.get_encoded_fmap_size(image_size)
+            fmap_size = (ih // down, iw // down)
         fmap_size = default(
             fmap_size,
             lambda: self.vae.get_encoded_fmap_size(self.image_size),
+        )
+        # normalize to an (fh, fw) grid — the static shape the decode
+        # compiles for; a plain int stays the square reference behavior
+        fmap_hw = (
+            (int(fmap_size[0]), int(fmap_size[1]))
+            if isinstance(fmap_size, (tuple, list))
+            else (int(fmap_size), int(fmap_size))
         )
 
         if isinstance(texts, str):
@@ -293,7 +308,7 @@ class MaskGit(nnx.Module):
         segments = None
         if compact and timesteps > 1:
             segments = _compact_segments(
-                self.noise_schedule, fmap_size * fmap_size, timesteps
+                self.noise_schedule, fmap_hw[0] * fmap_hw[1], timesteps
             )
 
         # traced guidance: a jax/np value (scalar or per-step (T,) array)
@@ -321,7 +336,7 @@ class MaskGit(nnx.Module):
             known_token_ids,
             known_mask,
             scale_schedule,
-            fmap_size=fmap_size,
+            fmap_size=fmap_hw,
             temperature=temperature,
             topk_filter_thres=topk_filter_thres,
             can_remask_prev_masked=can_remask_prev_masked,
@@ -365,13 +380,18 @@ class MaskGit(nnx.Module):
         if method == "auto":
             method = "critic" if exists(self.token_critic) else "logprob"
         b = ids.shape[0]
+        # a (b, fh, fw) grid carries its own aspect ratio — thread it into
+        # the scoring forward so variable/rectangular-resolution candidates
+        # score under the same resized positional grid they decoded with
+        pos_grid = tuple(ids.shape[1:3]) if ids.ndim == 3 else None
         x = ids.reshape(b, -1)
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
         if method == "critic":
             assert exists(self.token_critic), "no token critic to score with"
             crit = self.token_critic(
-                x, text_embeds=text_embeds, text_mask=text_mask, attn_impl=attn_impl
+                x, text_embeds=text_embeds, text_mask=text_mask, attn_impl=attn_impl,
+                pos_grid=pos_grid,
             )
             crit = crit.reshape(b, -1).astype(jnp.float32)
             # critic logit predicts P(token is FAKE) through a sigmoid, so
@@ -380,7 +400,7 @@ class MaskGit(nnx.Module):
         assert method == "logprob", f"unknown score method {method!r}"
         logits = self.transformer(
             x, text_embeds=text_embeds, text_mask=text_mask,
-            return_logits=True, attn_impl=attn_impl,
+            return_logits=True, attn_impl=attn_impl, pos_grid=pos_grid,
         ).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_logp = jnp.take_along_axis(logp, x[..., None], axis=-1)[..., 0]
@@ -567,15 +587,17 @@ class MaskGit(nnx.Module):
         # tokenize if needed
         if jnp.issubdtype(images_or_ids.dtype, jnp.floating):
             assert exists(self.vae), "vqgan vae must be passed in to train from raw images"
-            # square and divisible by the VAE's downsampling factor; not
-            # necessarily self.image_size — multi-resolution training rides
-            # the same positional-grid resize as variable-resolution sampling
+            # divisible by the VAE's downsampling factor; not necessarily
+            # self.image_size (multi-resolution training) and not necessarily
+            # square (aspect-bucketed training) — both ride the same
+            # positional-grid resize as variable/rectangular-resolution
+            # sampling (the grid threads as pos_grid below)
             down = self.vae.dim_divisor
             assert (
-                images_or_ids.shape[1] == images_or_ids.shape[2]
-                and images_or_ids.shape[1] % down == 0
+                images_or_ids.shape[1] % down == 0
+                and images_or_ids.shape[2] % down == 0
             ), (
-                f"training images must be square and divisible by the VAE's "
+                f"training images must be divisible by the VAE's "
                 f"downsampling factor {down}, got {images_or_ids.shape[1:3]}"
             )
             _, ids, _ = self.vae.encode(
@@ -603,6 +625,11 @@ class MaskGit(nnx.Module):
                 method="nearest",
             )
 
+        # a (b, fh, fw) token grid names its own aspect ratio; thread it into
+        # the transformer so a non-square batch trains under the same resized
+        # positional grid rectangular sampling uses (flat (b, seq) input keeps
+        # the legacy square-inference contract)
+        pos_grid = tuple(ids.shape[1:3]) if ids.ndim == 3 else None
         ids = ids.reshape(ids.shape[0], -1)
         batch, seq_len = ids.shape
         cond_drop_prob = default(cond_drop_prob, self.cond_drop_prob)
@@ -664,6 +691,7 @@ class MaskGit(nnx.Module):
                     cond_drop_prob=0.0,
                     return_embed=True,
                     attn_impl=attn_impl,
+                    pos_grid=pos_grid,
                 )
                 return jax.lax.stop_gradient(embed)
 
@@ -688,6 +716,7 @@ class MaskGit(nnx.Module):
             return_logits=True,
             rng=k_drop,
             attn_impl=attn_impl,
+            pos_grid=pos_grid,
         )
 
         if not exists(self.token_critic) or train_only_generator:
@@ -711,6 +740,7 @@ class MaskGit(nnx.Module):
             # a fresh bernoulli per forward (muse_maskgit_pytorch.py:308-310)
             rng=k_drop_critic,
             attn_impl=attn_impl,
+            pos_grid=pos_grid,
         )
         return ce_loss + self.critic_loss_weight * bce_loss
 
@@ -722,13 +752,13 @@ def _rerank_select_jit(graphdef, state, ids, te, tm, *, b, k, method, attn_impl,
     """Score all b*k candidates, pick the per-prompt winner, decode it —
     one compiled program (see `MaskGit.generate_reranked`)."""
     model = nnx.merge(graphdef, state)
-    fmap = ids.shape[-1]
+    gh, gw = ids.shape[-2], ids.shape[-1]
     scores = model.score_samples(
         ids, text_embeds=te, text_mask=tm, method=method, attn_impl=attn_impl
     ).reshape(b, k)
     best = jnp.argmax(scores, axis=-1)  # (b,)
     winners = jnp.take_along_axis(
-        ids.reshape(b, k, fmap, fmap), best[:, None, None, None], axis=1
+        ids.reshape(b, k, gh, gw), best[:, None, None, None], axis=1
     )[:, 0]
     best_scores = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
     if decode:
@@ -860,7 +890,14 @@ def _generate_jit(
     mask_id = model.mask_id
 
     batch = text_embeds.shape[0]
-    seq_len = fmap_size * fmap_size
+    # fmap_size is (fh, fw) from generate(); rectangular grids ride the same
+    # decode — only the positional embedding (pos_grid below) and the final
+    # reshape know the aspect ratio (a bare int kept for direct callers)
+    fh, fw = (
+        fmap_size if isinstance(fmap_size, tuple) else (fmap_size, fmap_size)
+    )
+    seq_len = fh * fw
+    pos_grid = (fh, fw)
 
     # guidance-scale schedule (Muse paper §2.5: "linearly increase the
     # guidance scale through the decode" — low guidance early for diversity,
@@ -1073,6 +1110,7 @@ def _generate_jit(
             attn_impl=attn_impl,
             gather_positions=gather_pos,
             context_kv=ctx_kv,
+            pos_grid=pos_grid,
         )
         new_self_cond = (
             embed.astype(self_cond_embed.dtype)
@@ -1146,6 +1184,7 @@ def _generate_jit(
                 conditioning_token_ids=cond_ids,
                 cond_scale=step_scale,
                 context_kv=critic_ctx_kv,
+                pos_grid=pos_grid,
             )
             new_scores = critic_logits[..., 0]
             noise = (
@@ -1195,7 +1234,7 @@ def _generate_jit(
     else:
         (ids, _, _), _ = jax.lax.scan(step, carry, xs_all)
 
-    ids = ids.reshape(batch, fmap_size, fmap_size)
+    ids = ids.reshape(batch, fh, fw)
     if decode_images and exists(model.vae):
         images = model.vae.decode_from_ids(ids)
     else:
@@ -1233,15 +1272,32 @@ class Muse(nnx.Module):
         attn_impl: str = "auto",
         rerank_candidates: int = 1,
         rerank_score: str = "auto",
+        image_size: Optional[Union[int, Tuple[int, int]]] = None,
     ):
         """`rerank_candidates > 1` re-ranks at the BASE stage (Muse paper
         §2.8 does the same with CLIP over 16 base samples): K candidates per
         prompt decode in one batched program, the best by `rerank_score`
         (critic / token log-likelihood, see `MaskGit.score_samples`) goes on
         to super-resolution — the expensive seq-1024 stage runs once per
-        prompt, not per candidate."""
+        prompt, not per candidate.
+
+        `image_size`: BASE-stage output resolution (int or (h, w) for a
+        non-square aspect ratio); the super-res stage scales it by the
+        cascade's trained upscaling ratio. Both stages ride the
+        variable-resolution positional-grid resize (`MaskGit.generate`)."""
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         k_base, k_sr = jax.random.split(rng)
+
+        sr_size = None
+        if image_size is not None:
+            bh, bw = (
+                (int(image_size[0]), int(image_size[1]))
+                if isinstance(image_size, (tuple, list))
+                else (int(image_size), int(image_size))
+            )
+            ratio = self.superres_maskgit.image_size // self.base_maskgit.image_size
+            sr_size = (bh * ratio, bw * ratio)
+            image_size = (bh, bw)
 
         if rerank_candidates > 1:
             lowres_image = self.base_maskgit.generate_reranked(
@@ -1253,6 +1309,7 @@ class Muse(nnx.Module):
                 temperature=temperature,
                 timesteps=timesteps,
                 attn_impl=attn_impl,
+                image_size=image_size,
             )
         else:
             lowres_image = self.base_maskgit.generate(
@@ -1262,6 +1319,7 @@ class Muse(nnx.Module):
                 temperature=temperature,
                 timesteps=timesteps,
                 attn_impl=attn_impl,
+                image_size=image_size,
             )
         # B4 fix: clamp decoder output before it conditions the next stage
         lowres_image = jnp.clip(lowres_image, 0.0, 1.0)
@@ -1274,6 +1332,7 @@ class Muse(nnx.Module):
             temperature=temperature,
             timesteps=default(superres_timesteps, timesteps),
             attn_impl=attn_impl,
+            image_size=sr_size,
         )
         superres_image = jnp.clip(superres_image, 0.0, 1.0)
 

@@ -332,7 +332,7 @@ class Transformer(nnx.Module):
 
     # -- positions -----------------------------------------------------------
 
-    def _positions(self, n: int) -> Array:
+    def _positions(self, n: int, grid: Optional[tuple] = None) -> Array:
         """(n, dim) absolute positional embeddings.
 
         At the trained length this is the learned table (reference :218,
@@ -340,15 +340,39 @@ class Transformer(nnx.Module):
         sampling: a model trained at f x f generating a g x g latent —
         the trained f x f grid is bilinearly resized to g x g, the standard
         learned-abs-pos-emb resolution transfer (as in ViT fine-tuning).
-        Non-square lengths keep the legacy prefix contract (n <= seq_len).
+
+        `grid=(gh, gw)` names the target grid EXPLICITLY, which also unlocks
+        non-square (portrait/landscape) grids: a flat length n cannot
+        identify its aspect ratio (192 tokens is 12x16 or 16x12), so
+        rectangular callers must say which. Requires the trained table to be
+        square. Without `grid`, non-square lengths keep the legacy prefix
+        contract (n <= seq_len).
         """
+        if grid is not None:
+            gh, gw = int(grid[0]), int(grid[1])
+            assert gh * gw == n, f"pos grid {grid} does not tile length {n}"
+            f = math.isqrt(self.seq_len)
+            if n == self.seq_len and (f * f != self.seq_len or (gh, gw) == (f, f)):
+                # native length at the native grid — the learned table as-is.
+                # For a natively NON-square table (seq_len not a perfect
+                # square) the trained row-major layout IS the caller's grid;
+                # there is no source grid to resize from.
+                return self.pos_emb(jnp.arange(n))
+            assert f * f == self.seq_len, (
+                "explicit pos_grid transfer needs a square trained table, "
+                f"got seq_len {self.seq_len}"
+            )
+            table = self.pos_emb(jnp.arange(self.seq_len))
+            sq = table.reshape(f, f, self.dim).astype(jnp.float32)
+            out = jax.image.resize(sq, (gh, gw, self.dim), method="bilinear")
+            return out.reshape(n, self.dim).astype(table.dtype)
         if n == self.seq_len:
             return self.pos_emb(jnp.arange(n))
         f, g = math.isqrt(self.seq_len), math.isqrt(n)
         if f * f == self.seq_len and g * g == n:
             table = self.pos_emb(jnp.arange(self.seq_len))
-            grid = table.reshape(f, f, self.dim).astype(jnp.float32)
-            out = jax.image.resize(grid, (g, g, self.dim), method="bilinear")
+            grid_sq = table.reshape(f, f, self.dim).astype(jnp.float32)
+            out = jax.image.resize(grid_sq, (g, g, self.dim), method="bilinear")
             return out.reshape(n, self.dim).astype(table.dtype)
         assert n <= self.seq_len, (
             f"sequence length {n} exceeds the trained {self.seq_len} and is "
@@ -437,6 +461,7 @@ class Transformer(nnx.Module):
         return_raw_double: bool = False,
         gather_positions: Optional[Array] = None,
         context_kv=None,
+        pos_grid: Optional[tuple] = None,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
@@ -474,6 +499,7 @@ class Transformer(nnx.Module):
                 attn_impl=attn_impl,
                 gather_positions=gather_positions,
                 context_kv=context_kv,
+                pos_grid=pos_grid,
             )
 
         b = x.shape[0]
@@ -493,6 +519,7 @@ class Transformer(nnx.Module):
             attn_impl=attn_impl,
             gather_positions=dup(gather_positions),
             context_kv=context_kv,
+            pos_grid=pos_grid,
         )
         if return_raw_double:
             return logits2, embed2[:b]
@@ -518,6 +545,7 @@ class Transformer(nnx.Module):
         return_raw_double: bool = False,
         gather_positions: Optional[Array] = None,
         context_kv=None,
+        pos_grid: Optional[tuple] = None,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
@@ -553,6 +581,7 @@ class Transformer(nnx.Module):
             attn_impl=attn_impl,
             gather_positions=dup(gather_positions),
             context_kv=context_kv,
+            pos_grid=pos_grid,
         )
         if return_raw_double:
             return logits2, embed2[:b]
@@ -581,6 +610,7 @@ class Transformer(nnx.Module):
         attn_impl: str = "auto",
         gather_positions: Optional[Array] = None,
         context_kv=None,
+        pos_grid: Optional[tuple] = None,
     ):
         b, n = x.shape
 
@@ -625,7 +655,7 @@ class Transformer(nnx.Module):
             )
 
         # embed tokens
-        h = self.token_emb(x) + self._positions(n)
+        h = self.token_emb(x) + self._positions(n, grid=pos_grid)
         h = h.astype(self.dtype)
 
         if self.self_cond:

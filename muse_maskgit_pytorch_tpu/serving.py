@@ -91,6 +91,7 @@ class GeneratePipeline:
         mesh=None,
         rerank_candidates: int = 1,
         rerank_score: str = "auto",
+        image_size=None,
     ):
         # cold-start story: persistent XLA compile cache ON by default — a
         # restarted server deserializes the cascade executables instead of
@@ -128,6 +129,27 @@ class GeneratePipeline:
         assert rerank_candidates >= 1
         self.rerank_candidates = rerank_candidates
         self.rerank_score = rerank_score
+        # deployment-level resolution override (int or (h, w) for a
+        # non-square aspect ratio): the BASE stage generates at this size;
+        # a cascade's super-res stage scales it by the trained ratio
+        # (variable/rectangular-resolution sampling, MaskGit.generate).
+        # One pipeline still compiles ONE shape — this picks WHICH shape a
+        # deployment serves; edit() stays at the models' native sizes.
+        self._gen_base_size = None
+        self._gen_sr_size = None
+        if image_size is not None:
+            bh, bw = (
+                (int(image_size[0]), int(image_size[1]))
+                if isinstance(image_size, (tuple, list))
+                else (int(image_size), int(image_size))
+            )
+            self._gen_base_size = (bh, bw)
+            if self.is_cascade:
+                ratio = (
+                    model.superres_maskgit.image_size
+                    // model.base_maskgit.image_size
+                )
+                self._gen_sr_size = (bh * ratio, bw * ratio)
         self._rng = jax.random.PRNGKey(seed)
         self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
 
@@ -191,6 +213,7 @@ class GeneratePipeline:
             timesteps=self.timesteps,
             cond_scale=self.cond_scale if cond_scale is None else cond_scale,
             temperature=self.temperature,
+            image_size=self._gen_base_size,
         )
         if self.rerank_candidates > 1:
             return base.generate_reranked(
@@ -215,6 +238,7 @@ class GeneratePipeline:
                 timesteps=self.timesteps,
                 cond_scale=self.cond_scale if cond_scale is None else cond_scale,
                 temperature=self.temperature,
+                image_size=self._gen_sr_size,
             )
         return self._base_generate(self.model, embeds, mask, key, cond_scale)
 

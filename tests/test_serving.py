@@ -332,3 +332,23 @@ def test_pipeline_per_call_cond_scale():
     b = pipe(["a", "b"], cond_scale=8.0)
     assert _generate_jit._cache_size() == n0  # traced: no recompile
     assert not np.array_equal(a, b)  # guidance actually applied
+
+
+def test_pipeline_image_size_override_rectangular():
+    """Deployment-level resolution override: the pipeline generates at a
+    non-native (rectangular) size; a cascade scales it by the trained
+    ratio. One compiled shape per pipeline, as always."""
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, image_size=(8, 24),
+    )
+    out = pipe(["a", "b"])
+    assert out.shape == (2, 8, 24, 3)
+
+    muse = Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
+    pipe2 = GeneratePipeline(
+        muse, batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, image_size=(8, 24),
+    )
+    out2 = pipe2("one")
+    assert out2.shape == (1, 16, 48, 3)
