@@ -50,10 +50,12 @@ def time_generate(mg, batch, timesteps=18, attn_impl="auto", n_runs=5, **kw):
     te = jax.random.normal(jax.random.PRNGKey(0), (batch, 64, 768), jnp.float32)
     tm = jnp.ones((batch, 64), bool)
 
+    cond_scale = kw.pop("cond_scale_override", 3.0)
+
     def run(key):
         return mg.generate(
             text_embeds=te, text_mask=tm, rng=key, timesteps=timesteps,
-            cond_scale=3.0, attn_impl=attn_impl, **kw,
+            cond_scale=cond_scale, attn_impl=attn_impl, **kw,
         )
 
     out = run(jax.random.PRNGKey(9))
@@ -341,6 +343,59 @@ def exp_varres():
         )
 
 
+
+def exp_cfg_fold():
+    """r4 headline lever: CFG combine folded into the embeddings before the
+    bias-free vocab head (halves the head matmul rows AND the fused
+    sampler's HBM read) vs the r3 structure (raw doubled logits, combine in
+    the sampling kernel). Arms alternate in ONE process; BOTH the outer
+    generate jit and the nested fused-sampler jit caches are left alone
+    (different static cfg_fold values trace separately — no cache pollution,
+    the r3 bisect post-mortem does not apply). Also drives the critic path
+    (SelfCritic now skips the generator's vocab head entirely) and the
+    per-row dynamic-scale program. Run: python bench_sweep.py cfgfold"""
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(
+        dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    base = build(256, 256, vae=vae)
+    log("== base 256px b32: cfg_fold A/B (interleaved, best of 3 each)")
+    results = {True: [], False: []}
+    for rep in range(3):
+        for fold in (False, True):
+            ips, dt = time_generate(base, 32, cfg_fold=fold, n_runs=3)
+            results[fold].append(ips)
+            log(f"  rep {rep} cfg_fold={fold}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+    for fold in (False, True):
+        log(f"  cfg_fold={fold}: best {max(results[fold]):.2f} img/s, all {[f'{x:.1f}' for x in results[fold]]}")
+
+    log("== super-res stage (seq 1024) b16: cfg_fold A/B")
+    sr = build(1024, 512, cond_image_size=256, vae=vae, cond_vae=vae)
+    cond = jnp.zeros((16, 256, 256, 3), jnp.float32)
+    for fold in (False, True):
+        ips, dt = time_generate(sr, 16, cfg_fold=fold, n_runs=3, cond_images=cond)
+        log(f"  cfg_fold={fold}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+
+    log("== self-critic decode b16 (critic vocab-head skip rides cfg_fold commit)")
+    base_sc = build(256, 256, vae=vae, self_cond=False)
+    # SelfCritic shares the generator backbone
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit as _MG
+    base_sc = _MG(
+        image_size=256, transformer=base_sc.transformer, vae=vae,
+        self_token_critic=True, rngs=nnx.Rngs(1),
+    )
+    ips, dt = time_generate(base_sc, 16, n_runs=3)
+    log(f"  self-critic guided: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+
+    log("== per-row dynamic guidance b32 (serving per-request program)")
+    scales = jnp.linspace(1.0, 6.0, 32)[None, :]
+    ips, dt = time_generate(base, 32, cond_scale_override=scales, n_runs=3)
+    log(f"  per-row traced scales: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+
+
 def exp_train_mfu():
     """MaskGit train-step throughput + model-FLOPs MFU at reference scale
     (ids path, the r2 535 img/s configuration). Amortizes 20 donated steps
@@ -592,5 +647,7 @@ if __name__ == "__main__":
         exp_edit()
     elif cmd == "varres":
         exp_varres()
+    elif cmd == "cfgfold":
+        exp_cfg_fold()
     else:
         main()

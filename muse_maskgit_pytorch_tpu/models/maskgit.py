@@ -141,6 +141,7 @@ class MaskGit(nnx.Module):
         negative_texts: Optional[List[str]] = None,
         neg_text_embeds: Optional[Array] = None,
         cond_images: Optional[Array] = None,
+        cond_token_ids: Optional[Array] = None,
         fmap_size: Optional[Union[int, Tuple[int, int]]] = None,
         image_size: Optional[Union[int, Tuple[int, int]]] = None,
         temperature: float = 1.0,
@@ -158,6 +159,7 @@ class MaskGit(nnx.Module):
         compact: Union[bool, str] = "auto",
         known_token_ids: Optional[Array] = None,
         known_mask: Optional[Array] = None,
+        cfg_fold: bool = True,
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted.
 
@@ -189,10 +191,18 @@ class MaskGit(nnx.Module):
         (start, end) tuple — the guidance scale then ramps linearly across
         the decode steps (Muse paper §2.5: low guidance early preserves
         sample diversity, high guidance late sharpens text alignment) — or
-        a jax/numpy value (scalar or per-step (timesteps,) array), which
-        makes the scale a TRACED input: one compiled program serves any
-        guidance value (no recompile per setting). All three agree
-        token-exactly at the same value.
+        a jax/numpy value, which makes the scale a TRACED input: one
+        compiled program serves any guidance value (no recompile per
+        setting). Traced shapes: scalar (one scale for the batch), per-step
+        (timesteps,), or 2-D (T_or_1, batch) for PER-SAMPLE guidance — each
+        row of a coalesced serving batch gets its own scale (requires
+        cfg_fold). All forms agree token-exactly at the same value.
+
+        `cfg_fold` (default True): fold the CFG combine into the embeddings
+        before the bias-free vocab head — mathematically identical scaled
+        logits, but the vocab-65537 head matmul and the sampler's HBM read
+        run on HALF the rows. False reproduces the r3 combine order
+        (logits-space / in-kernel) bit-exactly.
 
         `image_size`: generate at a resolution the model was not trained at
         (variable-resolution sampling). The transformer's learned positional
@@ -241,11 +251,14 @@ class MaskGit(nnx.Module):
             assert len(negative_texts) == text_embeds.shape[0]
             neg_text_embeds = self.transformer.encode_text(negative_texts)
 
-        cond_ids = None
-        if self.resize_image_for_cond_image:
+        # conditioning tokens: pre-tokenized ids directly (ids-only super-res
+        # pipelines; mirrors __call__'s cond_token_ids training input), or a
+        # conditioning image through the cond VAE (reference :549-552)
+        cond_ids = cond_token_ids
+        if self.resize_image_for_cond_image and cond_ids is None:
             assert exists(
                 cond_images
-            ), "conditioning image must be passed in for super res maskgit"
+            ), "conditioning image (or cond_token_ids) must be passed in for super res maskgit"
             _, cond_ids, _ = self.cond_vae.encode(cond_images, train=False)
 
         if can_remask_prev_masked:
@@ -319,8 +332,23 @@ class MaskGit(nnx.Module):
         scale_schedule = None
         if not isinstance(cond_scale, (int, float, tuple)):
             arr = jnp.asarray(cond_scale, jnp.float32)
-            assert arr.ndim <= 1, "cond_scale array must be a scalar or (timesteps,)"
-            scale_schedule = jnp.broadcast_to(arr, (timesteps,))
+            assert arr.ndim <= 2, (
+                "cond_scale array must be a scalar, (timesteps,) per-step, "
+                "or (timesteps_or_1, batch) per-sample"
+            )
+            if arr.ndim == 2:
+                # per-SAMPLE guidance: each batch row has its own scale (the
+                # embed-fold combine broadcasts a (b,) vector for free)
+                assert cfg_fold, "per-sample cond_scale requires cfg_fold=True"
+                assert arr.shape[-1] == text_embeds.shape[0], (
+                    f"per-sample cond_scale has {arr.shape[-1]} columns for a "
+                    f"batch of {text_embeds.shape[0]}"
+                )
+                scale_schedule = jnp.broadcast_to(
+                    arr, (timesteps, text_embeds.shape[0])
+                )
+            else:
+                scale_schedule = jnp.broadcast_to(arr, (timesteps,))
             cond_scale = "dynamic"
 
         graphdef, state = nnx.split(self)
@@ -349,6 +377,7 @@ class MaskGit(nnx.Module):
             progress=progress,
             segments=segments,
             decode_images=not return_ids and exists(self.vae),
+            cfg_fold=cfg_fold,
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -461,6 +490,13 @@ class MaskGit(nnx.Module):
             generate_kwargs["neg_text_embeds"] = jnp.repeat(
                 generate_kwargs["neg_text_embeds"], k, axis=0
             )
+        cs = generate_kwargs.get("cond_scale")
+        if cs is not None and not isinstance(cs, (int, float, tuple)):
+            cs = jnp.asarray(cs, jnp.float32)
+            if cs.ndim == 2:
+                # per-sample guidance follows its prompt onto all K candidates
+                generate_kwargs = dict(generate_kwargs)
+                generate_kwargs["cond_scale"] = jnp.repeat(cs, k, axis=1)
         ids = self.generate(
             text_embeds=te, text_mask=tm, rng=rng, return_ids=True,
             **generate_kwargs,
@@ -505,10 +541,14 @@ class MaskGit(nnx.Module):
         outpainting; mask everything that should change for mask-free
         editing at a region level).
 
-        `images`: (b, H, W, 3) in [0, 1] at this stage's `image_size`.
+        `images`: (b, H, W, 3) in [0, 1]. Any (H, W) divisible by the VAE's
+        downsampling factor works — editing composes with variable /
+        rectangular resolution exactly like generation (the positional grid
+        resizes to the source's latent grid; `image_size` is just the
+        trained default).
         `edit_mask`: True = REGENERATE. Either pixel-level (b, H, W) — any
         token whose patch overlaps the region is regenerated — or
-        token-level (b, f, f) on the VAE's latent grid.
+        token-level (b, fh, fw) on the VAE's latent grid.
 
         The reference has no editing path (generate always starts from a
         fully masked canvas, muse_maskgit_pytorch.py:507-520); this is the
@@ -519,36 +559,43 @@ class MaskGit(nnx.Module):
         """
         assert exists(self.vae), "editing needs the vae to tokenize the source image"
         chex.assert_rank(images, 4)
-        assert images.shape[1] == images.shape[2] == self.image_size
-        fmap_size = self.vae.get_encoded_fmap_size(self.image_size)
+        H, W = int(images.shape[1]), int(images.shape[2])
+        down = self.vae.dim_divisor
+        assert H % down == 0 and W % down == 0, (
+            f"source images {H}x{W} must be divisible by the VAE's "
+            f"downsampling factor {down}"
+        )
+        fh, fw = H // down, W // down
 
         _, ids, _ = self.vae.encode(jax.lax.stop_gradient(images), train=False)
-        ids = ids.reshape(ids.shape[0], fmap_size, fmap_size)
+        ids = ids.reshape(ids.shape[0], fh, fw)
 
         edit_mask = jnp.asarray(edit_mask)
         if edit_mask.dtype != jnp.bool_:
             edit_mask = edit_mask > 0.5
-        if edit_mask.shape[1:] == (self.image_size, self.image_size):
-            patch = self.image_size // fmap_size
+        if edit_mask.shape[1:] == (H, W):
             edit_mask = jnp.any(
-                edit_mask.reshape(
-                    edit_mask.shape[0], fmap_size, patch, fmap_size, patch
-                ),
+                edit_mask.reshape(edit_mask.shape[0], fh, down, fw, down),
                 axis=(2, 4),
             )
-        assert edit_mask.shape[1:] == (fmap_size, fmap_size), (
-            f"edit_mask must be (b, {self.image_size}, {self.image_size}) "
-            f"pixel-level or (b, {fmap_size}, {fmap_size}) token-level, "
-            f"got {edit_mask.shape}"
+        assert edit_mask.shape[1:] == (fh, fw), (
+            f"edit_mask must be (b, {H}, {W}) pixel-level or "
+            f"(b, {fh}, {fw}) token-level, got {edit_mask.shape}"
         )
 
         # super-res stage: condition on the low-res image as usual (callers
         # without an explicit cond image get the source image downsized,
-        # same auto-resize contract as training, reference :649-650)
+        # same auto-resize contract as training, reference :649-650); a
+        # non-native source keeps its aspect ratio through the cond stage
         if self.resize_image_for_cond_image and "cond_images" not in generate_kwargs:
+            ratio = self.image_size // self.cond_image_size
+            assert H % ratio == 0 and W % ratio == 0, (
+                f"source {H}x{W} must be divisible by the cascade's "
+                f"conditioning ratio {ratio}"
+            )
             generate_kwargs["cond_images"] = jax.image.resize(
                 images,
-                (images.shape[0], self.cond_image_size, self.cond_image_size, images.shape[-1]),
+                (images.shape[0], H // ratio, W // ratio, images.shape[-1]),
                 method="nearest",
             )
 
@@ -557,7 +604,7 @@ class MaskGit(nnx.Module):
             rng=rng,
             known_token_ids=ids,
             known_mask=~edit_mask,
-            fmap_size=fmap_size,
+            fmap_size=(fh, fw),
             **generate_kwargs,
         )
 
@@ -627,9 +674,20 @@ class MaskGit(nnx.Module):
 
         # a (b, fh, fw) token grid names its own aspect ratio; thread it into
         # the transformer so a non-square batch trains under the same resized
-        # positional grid rectangular sampling uses (flat (b, seq) input keeps
-        # the legacy square-inference contract)
+        # positional grid rectangular sampling uses. FLAT (b, seq) input at a
+        # non-native length only makes sense when seq is a perfect square
+        # (square resolution-transfer): a flat rectangular sequence cannot
+        # name its aspect ratio, and _positions' legacy prefix contract would
+        # train it silently miscalibrated — reject loudly instead.
         pos_grid = tuple(ids.shape[1:3]) if ids.ndim == 3 else None
+        if ids.ndim == 2 and ids.shape[1] != self.transformer.seq_len:
+            import math as _math
+
+            assert _math.isqrt(ids.shape[1]) ** 2 == ids.shape[1], (
+                f"flat pre-tokenized ids of length {ids.shape[1]} (non-native, "
+                f"non-square) cannot infer their token grid — pass 3-D "
+                f"(b, fh, fw) ids so positions resize to the right aspect ratio"
+            )
         ids = ids.reshape(ids.shape[0], -1)
         batch, seq_len = ids.shape
         cond_drop_prob = default(cond_drop_prob, self.cond_drop_prob)
@@ -856,6 +914,7 @@ def _double_ctx_kv(ctx_kv):
         "progress",
         "segments",
         "decode_images",
+        "cfg_fold",
     ),
 )
 def _generate_jit(
@@ -884,6 +943,7 @@ def _generate_jit(
     progress=False,
     segments=None,
     decode_images=True,
+    cfg_fold=True,
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -1095,9 +1155,12 @@ def _generate_jit(
                 else g_inj
             )
 
-        # the fused sampler combines the CFG pair in ITS kernel (one less
-        # full-vocab HBM pass per step); other samplers take combined logits
-        fuse_cfg = sampler == "fused" and cfg_on
+        # cfg_fold (default): the CFG combine happens on the EMBEDDINGS
+        # before the bias-free vocab head — the head matmul and everything
+        # downstream (sampler HBM read included) see SINGLE-batch rows.
+        # cfg_fold=False keeps the r3 structure: raw doubled logits with the
+        # combine fused into the sampling kernel (cfg_pair) or done in XLA.
+        fuse_cfg = sampler == "fused" and cfg_on and not cfg_fold
         logits, embed = demask_fn(
             x_in,
             text_embeds=text_embeds,
@@ -1107,6 +1170,7 @@ def _generate_jit(
             cond_scale=step_scale,
             return_embed=True,
             return_raw_double=fuse_cfg,
+            cfg_fold=cfg_fold,
             attn_impl=attn_impl,
             gather_positions=gather_pos,
             context_kv=ctx_kv,
@@ -1147,7 +1211,13 @@ def _generate_jit(
                 # the kernel is TPU Mosaic; CPU runs use the TPU interpreter
                 interpret=jax.default_backend() != "tpu",
                 cfg_pair=fuse_cfg,
-                cond_scale=step_scale if scheduled else float(cond_scale),
+                # with cfg_fold the logits arrive pre-combined (and step_scale
+                # may be a per-row vector the kernel's scalar slot can't hold)
+                cond_scale=(
+                    1.0
+                    if not fuse_cfg
+                    else (step_scale if scheduled else float(cond_scale))
+                ),
             )
             pred_ids = pred_flat.reshape(batch, npos)
             chosen_prob = chosen_flat.reshape(batch, npos)
@@ -1183,6 +1253,7 @@ def _generate_jit(
                 text_mask=text_mask,
                 conditioning_token_ids=cond_ids,
                 cond_scale=step_scale,
+                cfg_fold=cfg_fold,
                 context_kv=critic_ctx_kv,
                 pos_grid=pos_grid,
             )
@@ -1257,6 +1328,14 @@ class Muse(nnx.Module):
     def __init__(self, base: MaskGit, superres: MaskGit):
         self.base_maskgit = base
         assert superres.resize_image_for_cond_image
+        # the cascade's upscaling ratio must be integral: variable-resolution
+        # generation and editing derive the super-res output size as
+        # base_size * ratio, and a non-multiple pair (e.g. 256 -> 384) would
+        # silently floor to ratio 1 instead of erroring
+        assert superres.image_size % base.image_size == 0, (
+            f"super-res image_size {superres.image_size} must be an exact "
+            f"multiple of the base stage's {base.image_size}"
+        )
         self.superres_maskgit = superres
 
     def __call__(
@@ -1367,7 +1446,10 @@ class Muse(nnx.Module):
         with the edited low-res result as super-res conditioning — tokens
         outside the region keep the source image's detail at both stages.
 
-        `images`: (b, H, W, 3) at the super-res stage's image_size.
+        `images`: (b, H, W, 3) at the super-res stage's resolution — any
+        (H, W) divisible by the cascade ratio and both stages' VAE
+        downsampling factors works (rectangular editing rides the same
+        positional-grid resize as rectangular generation).
         `edit_mask`: True = regenerate; pixel-level (b, H, W) at super-res
         resolution (downsampled per stage) or token-level per-stage masks
         are NOT accepted here — use the per-stage `MaskGit.edit` for that.
@@ -1376,25 +1458,28 @@ class Muse(nnx.Module):
         k_base, k_sr = jax.random.split(rng)
         sr = self.superres_maskgit
         base = self.base_maskgit
-        assert images.shape[1] == images.shape[2] == sr.image_size
+        H, W = int(images.shape[1]), int(images.shape[2])
+        ratio = sr.image_size // base.image_size
+        assert H % ratio == 0 and W % ratio == 0, (
+            f"source {H}x{W} must be divisible by the cascade ratio {ratio}"
+        )
+        bh, bw = H // ratio, W // ratio
 
         edit_mask = jnp.asarray(edit_mask)
         if edit_mask.dtype != jnp.bool_:
             edit_mask = edit_mask > 0.5
         chex.assert_rank(edit_mask, 3)
-        assert edit_mask.shape[1:] == (sr.image_size, sr.image_size)
+        assert edit_mask.shape[1:] == (H, W), (
+            f"edit_mask must match the source images' resolution "
+            f"({H}, {W}), got {edit_mask.shape[1:]}"
+        )
 
         lowres_src = jax.image.resize(
-            images,
-            (images.shape[0], base.image_size, base.image_size, images.shape[-1]),
-            method="nearest",
+            images, (images.shape[0], bh, bw, images.shape[-1]), method="nearest"
         )
         # a base-resolution pixel is edited if any high-res pixel it covers is
-        ratio = sr.image_size // base.image_size
         lowres_mask = jnp.any(
-            edit_mask.reshape(
-                edit_mask.shape[0], base.image_size, ratio, base.image_size, ratio
-            ),
+            edit_mask.reshape(edit_mask.shape[0], bh, ratio, bw, ratio),
             axis=(2, 4),
         )
 

@@ -14,7 +14,12 @@ muse_maskgit_pytorch.py:63-386`:
   * classifier-free guidance: unlike the reference's two sequential forwards
     (:240-259), `forward_with_cond_scale` folds the cond and null passes into
     ONE doubled-batch forward — on TPU this keeps the MXU fed and halves the
-    number of kernel launches in the decode loop;
+    number of kernel launches in the decode loop. Because `to_logits` is
+    bias-free (reference :225) and the CFG combine is linear, the combine
+    happens on the EMBEDDINGS (dim d) before the vocab head by default
+    (`cfg_fold`): one head matmul on b rows instead of 2b, and single-batch
+    logits downstream — mathematically identical scaled logits, and the
+    guidance scale can be a per-ROW vector for free;
   * `forward_with_neg_prompt` is the reference's broken negative prompting
     (:261-277 references undefined variables — SURVEY.md §2.4 B1) built
     working: the "null" pass is replaced by a negative-text pass;
@@ -290,6 +295,7 @@ class Transformer(nnx.Module):
         num_tokens: int,
         dim: int,
         seq_len: int,
+        seq_hw: Optional[tuple] = None,
         dim_out: Optional[int] = None,
         t5_name: Optional[str] = None,
         text_embed_dim: Optional[int] = None,
@@ -307,6 +313,17 @@ class Transformer(nnx.Module):
         self.mask_id = num_tokens if add_mask_id else None
         self.num_tokens = num_tokens
         self.seq_len = seq_len
+        # the trained token grid: defaults to square when seq_len is a
+        # perfect square; a natively NON-square model must name its (h, w)
+        # here or explicit pos_grid calls cannot validate orientation
+        if seq_hw is not None:
+            assert seq_hw[0] * seq_hw[1] == seq_len, (
+                f"seq_hw {seq_hw} does not tile seq_len {seq_len}"
+            )
+            self.seq_hw = (int(seq_hw[0]), int(seq_hw[1]))
+        else:
+            f = math.isqrt(seq_len)
+            self.seq_hw = (f, f) if f * f == seq_len else None
         self.dtype = dtype
         self.t5_name = t5_name
 
@@ -352,11 +369,19 @@ class Transformer(nnx.Module):
             gh, gw = int(grid[0]), int(grid[1])
             assert gh * gw == n, f"pos grid {grid} does not tile length {n}"
             f = math.isqrt(self.seq_len)
-            if n == self.seq_len and (f * f != self.seq_len or (gh, gw) == (f, f)):
-                # native length at the native grid — the learned table as-is.
-                # For a natively NON-square table (seq_len not a perfect
-                # square) the trained row-major layout IS the caller's grid;
-                # there is no source grid to resize from.
+            if n == self.seq_len and f * f != self.seq_len:
+                # natively NON-square table: the trained row-major layout is
+                # the ONLY valid grid — a transposed-orientation caller (e.g.
+                # (4,3) on a (3,4)-trained model) would silently get a wrong
+                # positional layout, so the named grid must match `seq_hw`.
+                assert self.seq_hw is not None and (gh, gw) == self.seq_hw, (
+                    f"pos grid {grid} does not match the trained grid "
+                    f"{self.seq_hw} of this non-square model (set seq_hw at "
+                    "construction to name the trained orientation)"
+                )
+                return self.pos_emb(jnp.arange(n))
+            if n == self.seq_len and (gh, gw) == (f, f):
+                # native length at the native grid — the learned table as-is
                 return self.pos_emb(jnp.arange(n))
             assert f * f == self.seq_len, (
                 "explicit pos_grid transfer needs a square trained table, "
@@ -447,6 +472,32 @@ class Transformer(nnx.Module):
 
     # -- CFG wrappers ---------------------------------------------------------
 
+    def _cfg_combine(self, out2: Array, b: int, cond_scale, fold: bool) -> Array:
+        """`null + (cond - null) * s` over a doubled-batch tensor.
+
+        `fold=True`: `out2` is the pre-head EMBEDDINGS (2b, k, dim) — combine
+        at dim, then ONE bias-free head matmul on b rows (`to_logits` has no
+        bias, reference :225,:332, so head(combine(e)) == combine(head(e))
+        exactly in linear arithmetic; in floating point the reassociation
+        delta is at matmul-rounding level, documented in BASELINE.md r4).
+        `fold=False`: `out2` is the doubled LOGITS — the reference's combine
+        order, bit-exact with prior rounds.
+
+        `cond_scale`: python scalar, traced scalar, or per-ROW (b,) vector
+        (each row gets its own guidance — serving batches mixed-guidance
+        requests in one program)."""
+        s = cond_scale
+        if not isinstance(s, (int, float)):
+            s = jnp.asarray(s, jnp.float32)
+            if s.ndim == 1:
+                s = s[:, None, None]
+        cond, null = out2[:b], out2[b:]
+        if fold:
+            e = null.astype(jnp.float32)
+            e = e + (cond.astype(jnp.float32) - e) * s
+            return self.to_logits(e.astype(self.dtype))
+        return null + (cond - null) * s
+
     def forward_with_cond_scale(
         self,
         x: Array,
@@ -462,6 +513,8 @@ class Transformer(nnx.Module):
         gather_positions: Optional[Array] = None,
         context_kv=None,
         pos_grid: Optional[tuple] = None,
+        cfg_fold: bool = True,
+        return_embed_only: bool = False,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
@@ -469,10 +522,22 @@ class Transformer(nnx.Module):
         stay attendable, matching the reference's order of operations
         (:308-318).
 
+        `cfg_fold` (default True): combine the EMBEDDINGS before the
+        bias-free vocab head instead of the logits after it — mathematically
+        identical scaled logits, but the head matmul (the decode loop's
+        biggest single matmul at vocab 65537) runs on b rows instead of 2b,
+        and every downstream consumer reads SINGLE-batch logits.
+        `cfg_fold=False` reproduces the reference's combine order bit-exactly
+        (parity oracles pin that path).
+
         `return_raw_double=True` skips the combine and returns the raw
         doubled-batch logits (cond rows then null rows) plus the cond-half
         embed — for consumers that fuse the CFG combine downstream (the
-        Pallas sampling kernel combines in VMEM).
+        Pallas sampling kernel's cfg_pair mode combines in VMEM).
+
+        `return_embed_only=True` skips the vocab head entirely and returns
+        just the cond-half embeddings (SelfCritic reads embeddings only — no
+        reason to pay the 65537-wide matmul per decode step).
 
         `gather_positions` (b, k) restricts the LOGITS HEAD to those sequence
         positions (the transformer itself still attends over the full
@@ -486,9 +551,24 @@ class Transformer(nnx.Module):
         differs).
 
         `cond_scale` may be a traced scalar (per-step guidance schedules,
-        Muse paper §2.5) — a tracer always takes the doubled-batch path; the
-        single-pass shortcut applies only to a literal 1."""
+        Muse paper §2.5) or a per-row (b,) vector (per-request guidance in a
+        coalesced serving batch; requires cfg_fold) — a tracer always takes
+        the doubled-batch path; the single-pass shortcut applies only to a
+        literal 1."""
         if isinstance(cond_scale, (int, float)) and cond_scale == 1:
+            if return_embed_only:
+                _, embed = self(
+                    x,
+                    text_embeds=text_embeds,
+                    text_mask=text_mask,
+                    conditioning_token_ids=conditioning_token_ids,
+                    self_cond_embed=self_cond_embed,
+                    attn_impl=attn_impl,
+                    context_kv=context_kv,
+                    pos_grid=pos_grid,
+                    skip_head=True,
+                )
+                return embed
             return self(
                 x,
                 text_embeds=text_embeds,
@@ -509,7 +589,8 @@ class Transformer(nnx.Module):
         def dup(t):
             return None if t is None else jnp.concatenate([t, t], axis=0)
 
-        logits2, embed2 = self(
+        fold = (cfg_fold or return_embed_only) and not return_raw_double
+        out2, embed2 = self(
             dup(x),
             text_embeds=dup(text_embeds),
             text_mask=jnp.concatenate([text_mask, jnp.zeros_like(text_mask)], axis=0),
@@ -520,11 +601,13 @@ class Transformer(nnx.Module):
             gather_positions=dup(gather_positions),
             context_kv=context_kv,
             pos_grid=pos_grid,
+            skip_head=fold,
         )
+        if return_embed_only:
+            return embed2[:b]
         if return_raw_double:
-            return logits2, embed2[:b]
-        cond_logits, null_logits = logits2[:b], logits2[b:]
-        scaled_logits = null_logits + (cond_logits - null_logits) * cond_scale
+            return out2, embed2[:b]
+        scaled_logits = self._cfg_combine(out2, b, cond_scale, fold)
         if return_embed:
             return scaled_logits, embed2[:b]
         return scaled_logits
@@ -546,11 +629,14 @@ class Transformer(nnx.Module):
         gather_positions: Optional[Array] = None,
         context_kv=None,
         pos_grid: Optional[tuple] = None,
+        cfg_fold: bool = True,
+        return_embed_only: bool = False,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
-        `return_raw_double` / `gather_positions` as in
-        `forward_with_cond_scale` (pos rows then neg rows).
+        `return_raw_double` / `gather_positions` / `cfg_fold` /
+        `return_embed_only` as in `forward_with_cond_scale` (pos rows then
+        neg rows; the neg rows play the null role in the embed-fold combine).
 
         `context_kv`: precomputed per-layer cross-attn K/V for the DOUBLED
         batch — pos rows' context then neg rows' context, both padded to the
@@ -571,7 +657,8 @@ class Transformer(nnx.Module):
         def dup(t):
             return None if t is None else jnp.concatenate([t, t], axis=0)
 
-        logits2, embed2 = self(
+        fold = (cfg_fold or return_embed_only) and not return_raw_double
+        out2, embed2 = self(
             dup(x),
             text_embeds=jnp.concatenate([text_embeds, neg_text_embeds], axis=0),
             text_mask=jnp.concatenate([text_mask, neg_text_mask], axis=0),
@@ -582,11 +669,13 @@ class Transformer(nnx.Module):
             gather_positions=dup(gather_positions),
             context_kv=context_kv,
             pos_grid=pos_grid,
+            skip_head=fold,
         )
+        if return_embed_only:
+            return embed2[:b]
         if return_raw_double:
-            return logits2, embed2[:b]
-        pos_logits, neg_logits = logits2[:b], logits2[b:]
-        scaled_logits = neg_logits + (pos_logits - neg_logits) * cond_scale
+            return out2, embed2[:b]
+        scaled_logits = self._cfg_combine(out2, b, cond_scale, fold)
         if return_embed:
             return scaled_logits, embed2[:b]
         return scaled_logits
@@ -611,6 +700,7 @@ class Transformer(nnx.Module):
         gather_positions: Optional[Array] = None,
         context_kv=None,
         pos_grid: Optional[tuple] = None,
+        skip_head: bool = False,
     ):
         b, n = x.shape
 
@@ -680,6 +770,12 @@ class Transformer(nnx.Module):
             head_in = jnp.take_along_axis(embed, gather_positions[..., None], axis=1)
         else:
             head_in = embed
+        if skip_head:
+            # pre-head embeddings (gathered), for consumers that fold the CFG
+            # combine before the vocab matmul or read embeddings only —
+            # returned alongside the FULL embed (self-conditioning needs it)
+            assert labels is None, "skip_head is a sampling-path feature"
+            return head_in, embed
         logits = self.to_logits(head_in)
 
         if return_embed:
@@ -729,19 +825,24 @@ class SelfCritic(nnx.Module):
         self.net = net
         self.to_pred = nnx.Linear(net.dim, 1, rngs=rngs)
 
+    # the critic reads EMBEDDINGS only — return_embed_only / skip_head skip
+    # the generator's vocab-65537 head matmul entirely (it was computed and
+    # discarded before; at b32/seq256 that is the decode loop's single
+    # biggest matmul, once per critic call per step)
+
     def forward_with_cond_scale(self, x, **kwargs):
         kwargs.pop("return_embed", None)
-        _, embeds = self.net.forward_with_cond_scale(x, return_embed=True, **kwargs)
+        embeds = self.net.forward_with_cond_scale(x, return_embed_only=True, **kwargs)
         return self.to_pred(embeds)
 
     def forward_with_neg_prompt(self, x, **kwargs):
         kwargs.pop("return_embed", None)
-        _, embeds = self.net.forward_with_neg_prompt(x, return_embed=True, **kwargs)
+        embeds = self.net.forward_with_neg_prompt(x, return_embed_only=True, **kwargs)
         return self.to_pred(embeds)
 
     def __call__(self, x, labels: Optional[Array] = None, **kwargs):
         kwargs.pop("return_embed", None)
-        _, embeds = self.net(x, return_embed=True, **kwargs)
+        _, embeds = self.net(x, skip_head=True, **kwargs)
         logits = self.to_pred(embeds)
         if not exists(labels):
             return logits
