@@ -152,6 +152,9 @@ class GeneratePipeline:
                 self._gen_sr_size = (bh * ratio, bw * ratio)
         self._rng = jax.random.PRNGKey(seed)
         self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
+        # compiled-surface warmup bookkeeping (see warmup()); a surface is
+        # marked warm after its program has executed once in this process
+        self.warm_surfaces: set = set()
 
     # -- internals ------------------------------------------------------------
 
@@ -161,10 +164,23 @@ class GeneratePipeline:
 
     @property
     def image_size(self) -> int:
-        """Input/output pixel size (the super-res stage's for a cascade) —
-        what edit() expects source images and masks to measure."""
+        """The models' NATIVE pixel size (the super-res stage's for a
+        cascade) — what edit() expects source images and masks to measure.
+        When a deployment-level `image_size` override is active, generated
+        images come out at `output_size` instead, not this."""
         m = self.model.superres_maskgit if self.is_cascade else self.model
         return m.image_size
+
+    @property
+    def output_size(self) -> tuple:
+        """Effective (h, w) of images __call__ returns: the deployment
+        `image_size` override when set (cascade: scaled by the trained
+        ratio), else the native square size."""
+        if self.is_cascade and self._gen_sr_size is not None:
+            return self._gen_sr_size
+        if not self.is_cascade and self._gen_base_size is not None:
+            return self._gen_base_size
+        return (self.image_size, self.image_size)
 
     def _encode_prompts(self, prompts: Sequence[str]):
         """Fixed-length text embeddings: pad/truncate to `text_len` so every
@@ -242,27 +258,94 @@ class GeneratePipeline:
             )
         return self._base_generate(self.model, embeds, mask, key, cond_scale)
 
+    def _scale_vector(self, scales: Sequence[float]):
+        """Per-row guidance as a (1, batch) traced array — ONE compiled
+        dynamic program serves every combination of per-request scales."""
+        assert len(scales) == self.batch_size
+        return jnp.asarray(np.asarray(scales, np.float32)[None, :])
+
     # -- public ----------------------------------------------------------------
 
-    def warmup(self) -> float:
-        """Compile the fixed-shape program; returns compile wall-clock."""
-        t0 = time.perf_counter()
-        embeds, mask = self._encode_prompts([""] * self.batch_size)
-        out = self._generate_batch(embeds, mask)
-        jax.block_until_ready(out)
-        _ = float(out.sum())  # full barrier on lazy runtimes
-        return time.perf_counter() - t0
+    WARMUP_SURFACES = ("generate", "dynamic_scale", "edit")
+
+    def warmup(self, surfaces: Union[str, Sequence[str]] = ("generate",)) -> float:
+        """Compile the configured serving surfaces at boot; returns total
+        compile wall-clock (per-surface times land in
+        `stats["warmup_seconds"]`, warmed surfaces in `warm_surfaces`).
+
+        `surfaces`: iterable of {"generate", "dynamic_scale", "edit"} or
+        "all". "generate" is the pipeline's static-guidance program (and
+        covers re-ranking when `rerank_candidates > 1` — same program);
+        "dynamic_scale" is the per-request-guidance program
+        (`__call__(..., cond_scale=...)`); "edit" is the inpainting program.
+        A surface not warmed here compiles on its FIRST live request —
+        minutes of cold compile mid-traffic on a remote accelerator
+        (BASELINE.md "serving cold start"), so warm every surface the
+        deployment enables."""
+        if surfaces == "all":
+            surfaces = self.WARMUP_SURFACES
+        if isinstance(surfaces, str):
+            surfaces = (surfaces,)
+        per_surface = self.stats.setdefault("warmup_seconds", {})
+        t_start = time.perf_counter()
+        for s in surfaces:
+            assert s in self.WARMUP_SURFACES, (
+                f"unknown warmup surface {s!r} (choose from {self.WARMUP_SURFACES})"
+            )
+            t0 = time.perf_counter()
+            if s == "generate":
+                embeds, mask = self._encode_prompts([""] * self.batch_size)
+                out = self._generate_batch(embeds, mask)
+            elif s == "dynamic_scale":
+                embeds, mask = self._encode_prompts([""] * self.batch_size)
+                out = self._generate_batch(
+                    embeds, mask,
+                    self._scale_vector([self.cond_scale] * self.batch_size),
+                )
+            else:  # edit
+                size = self.image_size
+                img_j = jnp.zeros((self.batch_size, size, size, 3), jnp.float32)
+                # all-False mask: zero editable positions — the decode passes
+                # through, but the compiled program is the real edit program
+                # (shapes and structure identical to a live request)
+                mask_j = jnp.zeros((self.batch_size, size, size), jnp.bool_)
+                embeds, tmask = self._encode_prompts([""] * self.batch_size)
+                if self.mesh is not None:
+                    img_j, mask_j, embeds, tmask = shard_batch(
+                        (img_j, mask_j, embeds, tmask), self.mesh, self._data_axis
+                    )
+                    with self.mesh:
+                        out = self._edit_batch(
+                            img_j, mask_j, embeds, tmask, self._next_key()
+                        )
+                else:
+                    out = self._edit_batch(
+                        img_j, mask_j, embeds, tmask, self._next_key()
+                    )
+            jax.block_until_ready(out)
+            _ = float(out.sum())  # full barrier on lazy runtimes
+            per_surface[s] = time.perf_counter() - t0
+            self.warm_surfaces.add(s)
+        return time.perf_counter() - t_start
 
     def __call__(self, prompts: Union[str, List[str]], cond_scale=None):
-        """`cond_scale`: optional per-call guidance override. The value is
-        passed as a TRACED scalar, so every override shares ONE compiled
-        program (generate()'s dynamic-scale path — no recompile per
-        setting); None uses the pipeline default via the static program."""
+        """`cond_scale`: optional guidance override — a scalar for the whole
+        call, or a per-PROMPT sequence (len(prompts)). Either form is passed
+        as a traced (1, batch) per-row vector, so every override — including
+        a coalesced batch of requests each with its own scale — shares ONE
+        compiled program (generate()'s dynamic per-sample path, no recompile
+        per setting); None uses the pipeline default via the static program."""
         if isinstance(prompts, str):
             prompts = [prompts]
-        if cond_scale is not None:
-            cond_scale = jnp.float32(cond_scale)
         n = len(prompts)
+        scales = None
+        if cond_scale is not None:
+            arr = np.asarray(cond_scale, np.float32)
+            scales = np.full((n,), float(arr), np.float32) if arr.ndim == 0 else arr.reshape(-1)
+            assert scales.shape == (n,), (
+                f"cond_scale must be a scalar or one value per prompt ({n}), "
+                f"got shape {scales.shape}"
+            )
         self.stats["requests"] += 1
 
         outputs = []
@@ -271,9 +354,15 @@ class GeneratePipeline:
             pad = self.batch_size - len(chunk)
             chunk_padded = chunk + [""] * pad
 
+            chunk_scale = None
+            if scales is not None:
+                chunk_scale = self._scale_vector(
+                    list(scales[start : start + self.batch_size])
+                    + [self.cond_scale] * pad
+                )
             embeds, mask = self._encode_prompts(chunk_padded)
             t0 = time.perf_counter()
-            imgs = self._generate_batch(embeds, mask, cond_scale)
+            imgs = self._generate_batch(embeds, mask, chunk_scale)
             # quantize to uint8 ON DEVICE before the host fetch: the f32
             # images are 4x the bytes for no benefit (PIL needs uint8), and
             # device->host bandwidth is the serving bottleneck on remote
@@ -282,6 +371,9 @@ class GeneratePipeline:
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1
+            self.warm_surfaces.add(
+                "generate" if chunk_scale is None else "dynamic_scale"
+            )
             outputs.append(imgs_np[: len(chunk)])
 
         images = np.concatenate(outputs, axis=0)
@@ -348,6 +440,7 @@ class GeneratePipeline:
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1
+            self.warm_surfaces.add("edit")
             outputs.append(imgs_np[: len(chunk)])
 
         out = np.concatenate(outputs, axis=0)

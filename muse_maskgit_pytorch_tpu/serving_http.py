@@ -42,12 +42,13 @@ import numpy as np
 class _Pending:
     """One enqueued prompt (plus optional edit payload) and its result slot."""
 
-    __slots__ = ("prompt", "source", "mask", "event", "image", "error")
+    __slots__ = ("prompt", "source", "mask", "cond_scale", "event", "image", "error")
 
-    def __init__(self, prompt: str, source=None, mask=None):
+    def __init__(self, prompt: str, source=None, mask=None, cond_scale=None):
         self.prompt = prompt
         self.source = source  # (H, W, 3) source image for edit requests
         self.mask = mask  # (H, W) bool edit mask for edit requests
+        self.cond_scale = cond_scale  # per-request guidance (None = default)
         self.event = threading.Event()
         self.image: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
@@ -95,8 +96,15 @@ class DynamicBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
 
-    def submit(self, prompts: List[str]) -> List[_Pending]:
-        pendings = [_Pending(p) for p in prompts]
+    def submit(self, prompts: List[str], cond_scales=None) -> List[_Pending]:
+        """`cond_scales`: optional per-prompt guidance (None entries use the
+        pipeline default). Requests with different scales still coalesce into
+        ONE batch — the pipeline passes a per-row scale vector."""
+        if cond_scales is None:
+            cond_scales = [None] * len(prompts)
+        pendings = [
+            _Pending(p, cond_scale=s) for p, s in zip(prompts, cond_scales)
+        ]
         for p in pendings:
             self._queues["generate"].put(p)
         return pendings
@@ -163,9 +171,26 @@ class DynamicBatcher:
                         [p.prompt for p in batch],
                     )
                 else:
-                    images = self.pipeline(
-                        [p.prompt for p in batch]
-                    )  # pipeline pads to batch_size itself
+                    # per-request guidance: when ANY coalesced request set a
+                    # custom scale, the whole batch rides the per-row dynamic
+                    # program (one compiled program for every scale mix);
+                    # all-default batches keep the static program
+                    if any(p.cond_scale is not None for p in batch):
+                        scales = [
+                            (
+                                p.cond_scale
+                                if p.cond_scale is not None
+                                else self.pipeline.cond_scale
+                            )
+                            for p in batch
+                        ]
+                        images = self.pipeline(
+                            [p.prompt for p in batch], cond_scale=scales
+                        )
+                    else:
+                        images = self.pipeline(
+                            [p.prompt for p in batch]
+                        )  # pipeline pads to batch_size itself
                 if self.pipeline.return_pil:
                     images = [np.asarray(im) for im in images]
                 for p, im in zip(batch, images):
@@ -215,8 +240,13 @@ class GenerateServer:
         port: int = 8000,
         max_wait_ms: float = 50.0,
         request_timeout_s: float = 600.0,
-        warmup: bool = False,
+        warmup=False,
     ):
+        """`warmup`: False (no boot compile), True (the "generate" surface),
+        "all", or an iterable of surfaces ({"generate", "dynamic_scale",
+        "edit"}) — every surface the deployment enables should be warmed at
+        boot, or its first live request eats the cold compile
+        (GeneratePipeline.warmup)."""
         self.pipeline = pipeline
         self.batcher = DynamicBatcher(pipeline, max_wait_ms=max_wait_ms)
         self.request_timeout_s = request_timeout_s
@@ -231,7 +261,11 @@ class GenerateServer:
 
     def start(self):
         if self._warmup_on_start:
-            self.pipeline.warmup()
+            self.pipeline.warmup(
+                ("generate",)
+                if self._warmup_on_start is True
+                else self._warmup_on_start
+            )
             self._warm = True
         self.batcher.start()
         self._serve_thread = threading.Thread(
@@ -263,8 +297,8 @@ class GenerateServer:
         self._warm = True
         return images
 
-    def _generate(self, prompts: List[str]) -> List[str]:
-        return self._await(self.batcher.submit(prompts))
+    def _generate(self, prompts: List[str], cond_scales=None) -> List[str]:
+        return self._await(self.batcher.submit(prompts, cond_scales))
 
     def _edit(self, prompts: List[str], sources, masks) -> List[str]:
         return self._await(self.batcher.submit_edit(prompts, sources, masks))
@@ -292,6 +326,9 @@ class GenerateServer:
                         {
                             "ok": True,
                             "warm": server._warm,
+                            "warm_surfaces": sorted(
+                                getattr(server.pipeline, "warm_surfaces", ())
+                            ),
                             "batch_size": server.pipeline.batch_size,
                         },
                     )
@@ -363,7 +400,29 @@ class GenerateServer:
                                 return
                         images = server._edit(prompts, sources, edit_masks)
                     else:
-                        images = server._generate(prompts)
+                        # optional per-request guidance: a number (applies to
+                        # every prompt in this request) or one number per
+                        # prompt; coalesces with other requests' scales into
+                        # one per-row batch
+                        scales = req.get("cond_scale")
+                        if scales is not None:
+                            if isinstance(scales, (int, float)):
+                                scales = [float(scales)] * len(prompts)
+                            if not (
+                                isinstance(scales, list)
+                                and len(scales) == len(prompts)
+                                and all(isinstance(s, (int, float)) for s in scales)
+                            ):
+                                self._reply(
+                                    400,
+                                    {
+                                        "error": "cond_scale must be a number "
+                                        "or one number per prompt"
+                                    },
+                                )
+                                return
+                            scales = [float(s) for s in scales]
+                        images = server._generate(prompts, scales)
                     self._reply(200, {"images": images})
                 except TimeoutError as e:
                     self._reply(503, {"error": str(e)})

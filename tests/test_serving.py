@@ -352,3 +352,62 @@ def test_pipeline_image_size_override_rectangular():
     )
     out2 = pipe2("one")
     assert out2.shape == (1, 16, 48, 3)
+
+
+def test_pipeline_per_prompt_cond_scale():
+    """pipe(prompts, cond_scale=[v0, v1]) gives each row its OWN guidance,
+    row-exact with a whole-batch run at that row's scale (same seed)."""
+    mixed = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=11,
+    )(["a", "b"], cond_scale=[2.0, 6.0])
+    lo = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=11,
+    )(["a", "b"], cond_scale=2.0)
+    hi = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=11,
+    )(["a", "b"], cond_scale=6.0)
+    np.testing.assert_array_equal(mixed[0], lo[0])
+    np.testing.assert_array_equal(mixed[1], hi[1])
+
+
+def test_pipeline_warmup_surfaces():
+    """warmup() compiles every requested surface at boot: the first live
+    request on each surface then hits a cached program (no new decode-scan
+    trace)."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=3,
+    )
+    total = pipe.warmup(("generate", "dynamic_scale", "edit"))
+    assert total > 0
+    assert pipe.warm_surfaces == {"generate", "dynamic_scale", "edit"}
+    assert set(pipe.stats["warmup_seconds"]) == pipe.warm_surfaces
+
+    n0 = _generate_jit._cache_size()
+    pipe(["a", "b"])  # static program
+    pipe(["a", "b"], cond_scale=[1.5, 4.0])  # per-row dynamic program
+    img = np.zeros((2, 16, 16, 3), np.float32)
+    msk = np.zeros((2, 16, 16), bool)
+    msk[:, 4:8, 4:8] = True
+    pipe.edit(img, msk, ["a", "b"])  # edit program
+    assert _generate_jit._cache_size() == n0, "a live request recompiled"
+
+
+def test_pipeline_output_size_property():
+    pipe = GeneratePipeline(_maskgit(), batch_size=2, timesteps=2, text_len=16)
+    assert pipe.output_size == (16, 16)
+    pipe2 = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, image_size=(8, 24)
+    )
+    assert pipe2.output_size == (8, 24)
+    assert pipe2.image_size == 16  # edit()'s native contract, unchanged
+    muse = Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
+    pipe3 = GeneratePipeline(
+        muse, batch_size=2, timesteps=2, text_len=16, image_size=8
+    )
+    assert pipe3.output_size == (16, 16)

@@ -253,3 +253,59 @@ def test_batcher_round_robins_between_kinds():
     # the edit batch must run before the LAST generate batch (round-robin),
     # i.e. it did not wait out the whole generate backlog
     assert "edit" in kinds[:-1]
+
+
+def test_per_request_guidance_token_exact_vs_direct():
+    """Requests with DIFFERENT cond_scale coalesce into ONE device batch and
+    each still gets its own guidance: the batcher's output must equal a
+    direct pipeline call with the same per-row scale vector (same seed)."""
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        compile_cache=False, seed=21,
+    )
+    batcher = DynamicBatcher(pipe, max_wait_ms=200.0)
+    batcher.start()
+    try:
+        pendings = batcher.submit(["a cat", "a dog"], cond_scales=[2.0, 6.0])
+        for p in pendings:
+            assert p.event.wait(timeout=300)
+            assert p.error is None
+    finally:
+        batcher.stop()
+    assert batcher.stats["coalesced_batches"] >= 1
+
+    direct = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, compile_cache=False, seed=21,
+    )(["a cat", "a dog"], cond_scale=[2.0, 6.0])
+    np.testing.assert_array_equal(np.asarray(pendings[0].image), direct[0])
+    np.testing.assert_array_equal(np.asarray(pendings[1].image), direct[1])
+
+
+def test_generate_endpoint_cond_scale(server):
+    # scalar form applies to every prompt; list form is per-prompt
+    status, out = _post(
+        server.port, {"prompts": ["a cat"], "cond_scale": 6.0}
+    )
+    assert status == 200 and len(out["images"]) == 1
+    status, out = _post(
+        server.port, {"prompts": ["a cat", "a dog"], "cond_scale": [1.5, 6.0]}
+    )
+    assert status == 200 and len(out["images"]) == 2
+
+
+def test_generate_endpoint_cond_scale_validation(server):
+    status, out = _post(
+        server.port, {"prompts": ["a", "b"], "cond_scale": [1.0]}
+    )
+    assert status == 400 and "cond_scale" in out["error"]
+    status, out = _post(
+        server.port, {"prompts": ["a"], "cond_scale": "high"}
+    )
+    assert status == 400
+
+
+def test_healthz_reports_warm_surfaces(server):
+    status, out = _get(server.port, "/healthz")
+    assert status == 200
+    assert "generate" in out["warm_surfaces"]
