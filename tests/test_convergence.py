@@ -188,3 +188,115 @@ def test_lfq_entropy_gradient_diversifies():
     assert before <= 2, before
     assert after > before, (before, after)
     assert after >= 16, after  # strong diversification
+
+
+def test_superres_training_uses_conditioning():
+    """Close the B3 loop BEHAVIORALLY (VERDICT r3 item 4): the reference
+    computed the super-res conditioning resize and dropped it on the floor
+    (/root/reference/muse_maskgit_pytorch/muse_maskgit_pytorch.py:649-667),
+    so a trained reference super-res stage silently ignores its low-res
+    input. Here: train a tiny conditioned MaskGit on synthetic pairs where
+    the high-res tokens are a DETERMINISTIC function of the conditioning
+    tokens (nearest-neighbor token upsample); the generated tokens must
+    track the cond tokens — and track SHUFFLED cond tokens when shuffled
+    (i.e. the model follows its conditioning, not a memorized prior)."""
+    import optax
+
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+
+    # conditioning tokens join the cross-attn context WITHOUT positional
+    # encoding (reference :314-318 — content-only keys), so spatial
+    # correspondence must be carried by CONTENT: each of the 4 cond slots
+    # draws ids from its own disjoint range (slot s in [4s, 4s+4)), making
+    # "the token of slot s" addressable by value. Target = nearest-neighbor
+    # token upsample of the cond grid — fully deterministic given the cond.
+    vocab, cf, f, text_dim = 16, 2, 4, 16
+    seq = f * f
+    tr = MaskGitTransformer(
+        num_tokens=vocab, dim=32, seq_len=seq, depth=2, dim_head=16, heads=2,
+        text_embed_dim=text_dim, rngs=nnx.Rngs(0),
+    )
+    maskgit = MaskGit(image_size=f, transformer=tr)  # ids-path: no VAEs
+
+    rng_np = np.random.default_rng(0)
+    text = jnp.asarray(rng_np.normal(size=(1, 2, text_dim)).astype(np.float32))
+    slot_base = 4 * np.arange(cf * cf).reshape(cf, cf)
+
+    def draw_cond(b):
+        return (slot_base[None] + rng_np.integers(0, 4, size=(b, cf, cf))).astype(
+            np.int32
+        )
+
+    def upsample(cond):  # (b, cf, cf) -> (b, f, f) nearest
+        r = f // cf
+        return np.repeat(np.repeat(cond, r, axis=1), r, axis=2)
+
+    graphdef, params, frozen = nnx.split(maskgit, nnx.Param, ...)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    def loss_fn(params, ids, cond, te, tm, key):
+        model = nnx.merge(graphdef, params, frozen)
+        return model(
+            ids, rng=key, cond_token_ids=cond, text_embeds=te, text_mask=tm
+        )
+
+    @jax.jit
+    def step(params, opt, ids, cond, te, tm, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ids, cond, te, tm, key)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    b = 32
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(250):
+        cond = draw_cond(b)
+        ids = upsample(cond).reshape(b, seq)
+        te = jnp.tile(text, (b, 1, 1))
+        tm = jnp.ones((b, 2), bool)
+        key, k = jax.random.split(key)
+        params, opt, loss = step(
+            params, opt, jnp.asarray(ids), jnp.asarray(cond), te, tm, k
+        )
+        losses.append(float(loss))
+    # deterministic target given cond: the conditioned CE should approach 0
+    # (CFG-dropout rows only drop TEXT; cond tokens stay attendable)
+    assert np.mean(losses[-20:]) < 0.5, (np.mean(losses[:20]), np.mean(losses[-20:]))
+
+    model = nnx.merge(graphdef, params, frozen)
+    gen_b = 8
+    cond = draw_cond(gen_b)
+    target = upsample(cond).reshape(gen_b, seq)
+
+    def gen(cond_arr, seed):
+        out = model.generate(
+            text_embeds=jnp.tile(text, (gen_b, 1, 1)),
+            text_mask=jnp.ones((gen_b, 2), bool),
+            cond_token_ids=jnp.asarray(cond_arr),
+            rng=jax.random.PRNGKey(seed),
+            fmap_size=f,
+            timesteps=6,
+            cond_scale=2.0,
+            return_ids=True,
+        )
+        return np.asarray(out).reshape(gen_b, seq)
+
+    ids = gen(cond, 42)
+    track = float(np.mean(ids == target))
+    assert track > 0.9, f"generated tokens track cond: {track:.3f}"
+
+    # shuffle the cond batch: generation must follow the NEW cond, and the
+    # match against the ORIGINAL targets must collapse
+    perm = rng_np.permutation(gen_b)
+    while np.all(perm == np.arange(gen_b)):
+        perm = rng_np.permutation(gen_b)
+    ids_shuf = gen(cond[perm], 43)
+    track_new = float(np.mean(ids_shuf == upsample(cond[perm]).reshape(gen_b, seq)))
+    track_old = float(np.mean(ids_shuf == target))
+    assert track_new > 0.9, f"shuffled cond tracked at {track_new:.3f}"
+    assert track_old < 0.5, (
+        f"output still matches the OLD cond ({track_old:.3f}) — "
+        "conditioning is not actually used"
+    )

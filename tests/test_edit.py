@@ -268,3 +268,58 @@ def test_muse_edit_neg_embeds_requires_shared_encoder(rng):
     with pytest.raises(AssertionError, match="same text encoder"):
         muse.edit(images, jnp.asarray(mask), text_embeds=te,
                   neg_text_embeds=te, rng=rng, timesteps=2)
+
+
+def test_edit_rectangular_source(rng):
+    """Editing composes with rectangular resolution (VERDICT r3 item 7): a
+    square-trained model edits a non-native 16x32 source; kept tokens stay
+    bit-exact, the edited region regenerates in-codebook, and the output
+    image keeps the source's aspect ratio."""
+    mg = base_maskgit()  # trained at 16px (4x4 tokens)
+    images = jax.random.uniform(rng, (2, 16, 32, 3))  # landscape, non-native
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 4, 8), bool)  # token-level on the 4x8 latent grid
+    mask[:, :, :4] = True  # regenerate the left half
+    _, src, _ = mg.vae.encode(images, train=False)
+    src = np.asarray(src).reshape(2, -1)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    keep = ~mask.reshape(2, -1)
+    assert (out[keep] == src[keep]).all()
+    assert (out >= 0).all() and (out < CODEBOOK).all()
+
+    # pixel-level mask form + decoded output shape
+    pmask = np.zeros((2, 16, 32), bool)
+    pmask[:, :, :16] = True
+    imgs = mg.edit(images, jnp.asarray(pmask), text_embeds=te, rng=rng, timesteps=3)
+    assert imgs.shape == (2, 16, 32, 3)
+
+
+def test_edit_rectangular_superres_auto_cond(rng):
+    # super-res stage editing a rect source derives its conditioning image
+    # at the scaled rect size (H//ratio, W//ratio)
+    mg = superres_maskgit()  # 32px native, cond 16px (ratio 2)
+    images = jax.random.uniform(rng, (2, 32, 48, 3))
+    te = text_embeds_for(2, rng)
+    mask = np.zeros((2, 8, 12), bool)
+    mask[:, 2:6, 2:6] = True
+    _, src, _ = mg.vae.encode(images, train=False)
+    src = np.asarray(src).reshape(2, -1)
+    out = _edit_ids(mg, images, jnp.asarray(mask), rng, te)
+    keep = ~mask.reshape(2, -1)
+    assert (out[keep] == src[keep]).all()
+
+
+def test_muse_edit_rectangular(rng):
+    """Cascade editing at a non-native rectangular resolution: both stages
+    ride the pos-grid resize; output keeps the source aspect ratio."""
+    muse = Muse(base_maskgit(), superres_maskgit())
+    images = jax.random.uniform(rng, (1, 32, 64, 3))  # sr-stage rect source
+    mask = np.zeros((1, 32, 64), bool)
+    mask[:, 8:24, 16:48] = True
+    te = text_embeds_for(1, rng)
+    out = muse.edit(
+        images, jnp.asarray(mask), text_embeds=te, rng=rng, timesteps=2,
+        return_pil_images=False,
+    )
+    assert out.shape == (1, 32, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
