@@ -14,10 +14,16 @@ Usage:
   python examples/compute_fid.py --real /path/real --save-stats coco.npz
   python examples/compute_fid.py --stats coco.npz --fake /path/fake
 
-Pretrained-weights caveat (docs/API_PARITY.md): with no egress this uses a
-random-init VGG16 extractor unless --vgg-weights points at a converted
-checkpoint — still a valid (self-consistent) distribution distance, but not
-comparable to published FID numbers.
+Extractors: `--extractor inception` (default) uses the STANDARD FID tower —
+torchvision-layout InceptionV3 pool3 features (models/inception.py) with the
+pytorch-fid input convention — so with converted pretrained weights
+(`--weights`, from examples/fetch_and_convert.py on a connected machine) the
+scores are comparable to published numbers. `--extractor vgg` uses the
+in-framework VGG16 fc2 features (the GAN's perceptual tower).
+
+Pretrained-weights caveat (docs/API_PARITY.md): with no egress and no
+--weights the extractor is random-init — still a valid (self-consistent)
+distribution distance for ordering models, but not paper-comparable.
 """
 
 import sys as _sys
@@ -52,27 +58,46 @@ def main():
     p.add_argument("--save-stats", default=None, help="write real-set stats here")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--extractor", choices=("inception", "vgg"), default="inception",
+                   help="inception = standard FID pool3 tower (paper-comparable "
+                   "with converted weights); vgg = in-framework perceptual tower")
+    p.add_argument("--weights", default=None,
+                   help="converted extractor checkpoint (msgpack, via "
+                   "utils/checkpoint.save_module after utils/convert.py)")
     p.add_argument("--vgg-weights", default=None,
-                   help="converted VGG16 checkpoint (utils/convert.py)")
+                   help="deprecated alias for --weights with --extractor vgg")
     args = p.parse_args()
 
     from muse_maskgit_pytorch_tpu.utils.eval import (
         FeatureStats,
         compute_feature_stats,
         fid_score,
+        make_inception_extractor,
         make_vgg_extractor,
     )
 
-    vgg = None
     if args.vgg_weights:
+        args.extractor, args.weights = "vgg", args.vgg_weights
+
+    tower = None
+    if args.weights:
         from flax import nnx
 
-        from muse_maskgit_pytorch_tpu.models.vgg import VGG16
         from muse_maskgit_pytorch_tpu.utils.checkpoint import load_module
 
-        vgg = VGG16(rngs=nnx.Rngs(0))
-        load_module(vgg, args.vgg_weights)
-    extract = make_vgg_extractor(vgg=vgg)
+        if args.extractor == "vgg":
+            from muse_maskgit_pytorch_tpu.models.vgg import VGG16
+
+            tower = VGG16(rngs=nnx.Rngs(0))
+        else:
+            from muse_maskgit_pytorch_tpu.models.inception import InceptionV3
+
+            tower = InceptionV3(rngs=nnx.Rngs(0))
+        load_module(tower, args.weights)
+    if args.extractor == "vgg":
+        extract = make_vgg_extractor(vgg=tower)
+    else:
+        extract = make_inception_extractor(inception=tower)
 
     if args.stats:
         real_stats = FeatureStats.load(args.stats)

@@ -113,11 +113,15 @@ def _is_connectivity_error(e: BaseException) -> bool:
     )
 
 
-def load_hf_t5_weights(model, name_or_path: str) -> None:
-    """Populate a `models.t5.T5Encoder` from a HF `T5EncoderModel`."""
-    from transformers import T5EncoderModel
+def load_hf_t5_weights(model, name_or_path) -> None:
+    """Populate a `models.t5.T5Encoder` from a HF `T5EncoderModel` — by hub
+    name/path, or directly from an in-memory HF model (offline conversion)."""
+    if isinstance(name_or_path, str):
+        from transformers import T5EncoderModel
 
-    hf = _hf_local_first(T5EncoderModel.from_pretrained, name_or_path)
+        hf = _hf_local_first(T5EncoderModel.from_pretrained, name_or_path)
+    else:
+        hf = name_or_path
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
 
     model.token_emb.embedding[...] = _a(sd["shared.weight"])
@@ -175,3 +179,51 @@ def load_torchvision_vgg16(model, state_dict=None, weights_path=None) -> None:
     model.fc1.bias[...] = _a(sd["classifier.0.bias"])
     model.fc2.kernel[...] = _t(sd["classifier.3.weight"])
     model.fc2.bias[...] = _a(sd["classifier.3.bias"])
+
+
+def _walk_basic_convs(module, prefix=""):
+    """Yield (torchvision_prefix, BasicConv2d) pairs by walking the module
+    tree — attribute names in `models.inception` mirror torchvision's
+    exactly, so the walked path IS the state_dict prefix."""
+    from muse_maskgit_pytorch_tpu.models.inception import BasicConv2d
+
+    for name, child in vars(module).items():
+        if name.startswith("_"):
+            continue
+        path = f"{prefix}.{name}" if prefix else name
+        if isinstance(child, BasicConv2d):
+            yield path, child
+        elif hasattr(child, "__dict__") and not isinstance(child, (int, float, str, tuple, list, dict)):
+            yield from _walk_basic_convs(child, path)
+
+
+def load_torchvision_inception_v3(model, state_dict=None, weights_path=None) -> None:
+    """Populate a `models.inception.InceptionV3` from torchvision
+    `inception_v3` weights (the standard FID tower).
+
+    Conv weights (out, in, kh, kw) -> (kh, kw, in, out); BatchNorm
+    {weight, bias, running_mean, running_var} map to the module's stored
+    inference statistics. Aux-classifier (`AuxLogits.*`) and `fc.*` entries
+    are ignored — FID's pool3 features never reach them.
+    """
+    if state_dict is None:
+        import torch
+
+        if weights_path is not None:
+            state_dict = torch.load(weights_path, map_location="cpu")
+        else:
+            import torchvision
+
+            state_dict = torchvision.models.inception_v3(pretrained=True).state_dict()
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    n_loaded = 0
+    for path, conv in _walk_basic_convs(model):
+        w = sd[f"{path}.conv.weight"]  # (out, in, kh, kw)
+        conv.conv.kernel[...] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        conv.bn_scale[...] = jnp.asarray(sd[f"{path}.bn.weight"])
+        conv.bn_bias[...] = jnp.asarray(sd[f"{path}.bn.bias"])
+        conv.bn_mean[...] = jnp.asarray(sd[f"{path}.bn.running_mean"])
+        conv.bn_var[...] = jnp.asarray(sd[f"{path}.bn.running_var"])
+        n_loaded += 1
+    assert n_loaded == 94, f"expected 94 BasicConv2d units, walked {n_loaded}"

@@ -158,3 +158,37 @@ def make_vgg_extractor(vgg=None, seed: int = 0) -> Callable:
         return nnx.merge(graphdef, state)(images)
 
     return lambda images: extract(state, images)
+
+
+def make_inception_extractor(
+    inception=None, seed: int = 0, resize_to: Optional[int] = 299
+) -> Callable:
+    """A jitted (b, H, W, 3)-in-[0,1] -> (b, 2048) pool3 feature extractor
+    over the in-framework InceptionV3 (`models/inception.py`) — the STANDARD
+    FID tower. Follows the pytorch-fid convention: bilinear resize to
+    299x299 (`resize_to=None` skips it) and rescale to [-1, 1] before the
+    network. Pass an `InceptionV3` loaded via
+    `utils.convert.load_torchvision_inception_v3` for literature-comparable
+    scores; the default random init only orders models."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.inception import InceptionV3
+
+    if inception is None:
+        inception = InceptionV3(rngs=nnx.Rngs(seed))
+    graphdef, state = nnx.split(inception)
+
+    @jax.jit
+    def extract(state, images):
+        images = jnp.asarray(images, jnp.float32)
+        if resize_to is not None and images.shape[1:3] != (resize_to, resize_to):
+            images = jax.image.resize(
+                images,
+                (images.shape[0], resize_to, resize_to, images.shape[3]),
+                method="bilinear",
+            )
+        return nnx.merge(graphdef, state)(images * 2.0 - 1.0)
+
+    return lambda images: extract(state, images)

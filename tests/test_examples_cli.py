@@ -20,6 +20,8 @@ EXAMPLES = Path(__file__).resolve().parents[1] / "examples"
         "edit_image.py",
         "serve.py",
         "fsdp_memory_report.py",
+        "compute_fid.py",
+        "fetch_and_convert.py",
     ],
 )
 def test_example_help(script):
@@ -32,3 +34,23 @@ def test_example_help(script):
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert "usage:" in out.stdout
+
+
+@pytest.mark.slow
+def test_fetch_and_convert_dry_run(tmp_path):
+    """The pretrained bring-up script's zero-egress mode: converters +
+    checkpoint writes + reload verification run end-to-end with locally
+    built random models (the connected-machine path differs only in where
+    the state_dicts come from)."""
+    out = subprocess.run(
+        [
+            sys.executable, str(EXAMPLES / "fetch_and_convert.py"),
+            "--out", str(tmp_path), "--t5", "google/t5-v1_1-base",
+            "--vgg", "--inception", "--dry-run",
+        ],
+        capture_output=True, text=True, timeout=560,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert (tmp_path / "t5-google-t5-v1_1-base.msgpack").exists()
+    assert (tmp_path / "vgg16.msgpack").exists()
+    assert (tmp_path / "inception_v3.msgpack").exists()
