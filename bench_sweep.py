@@ -364,7 +364,7 @@ def exp_cfg_fold():
     base = build(256, 256, vae=vae)
     log("== base 256px b32: cfg_fold A/B (interleaved, best of 3 each)")
     results = {True: [], False: []}
-    for rep in range(3):
+    for rep in range(2):
         for fold in (False, True):
             ips, dt = time_generate(base, 32, cfg_fold=fold, n_runs=3)
             results[fold].append(ips)

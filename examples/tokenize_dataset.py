@@ -36,6 +36,13 @@ def main():
              "files (missing captions become empty prompts) for "
              "MaskGitTrainer.train_from_shards(use_captions=True)",
     )
+    p.add_argument(
+        "--cond-image-size", type=int, default=None,
+        help="ALSO tokenize a downsized copy of each image and append its "
+             "ids to the row ([target ids ++ cond ids]) — paired super-res "
+             "shards for train_from_shards(cond_token_len=...); one shuffle "
+             "stream keeps target and conditioning aligned by construction",
+    )
     args = p.parse_args()
 
     vae = VQGanVAE(
@@ -47,6 +54,15 @@ def main():
     @jax.jit
     def encode(imgs):
         return vae.encode(imgs, train=False)[1]
+
+    @jax.jit
+    def encode_cond(imgs):
+        low = jax.image.resize(
+            imgs,
+            (imgs.shape[0], args.cond_image_size, args.cond_image_size, imgs.shape[-1]),
+            method="nearest",  # the MaskGit auto-resize contract (B3 fix)
+        )
+        return vae.encode(low, train=False)[1]
 
     ds = ImageDataset(args.folder, args.image_size, random_flip=False)
     dl = DataLoader(ds, args.batch_size, shuffle=False)
@@ -69,7 +85,13 @@ def main():
     buf, caps, shard_idx, total = [], [], 0, 0
     for batch in dl:
         ids = np.asarray(encode(batch))  # (b, f, f)
-        buf.append(ids.reshape(ids.shape[0], -1).astype(np.int32))
+        row = ids.reshape(ids.shape[0], -1).astype(np.int32)
+        if args.cond_image_size:
+            cond = np.asarray(encode_cond(batch))
+            row = np.concatenate(
+                [row, cond.reshape(cond.shape[0], -1).astype(np.int32)], axis=1
+            )
+        buf.append(row)
         if args.captions:  # DataLoader is unshuffled: ds.paths order
             caps.extend(caption_for(total + j) for j in range(ids.shape[0]))
         total += ids.shape[0]

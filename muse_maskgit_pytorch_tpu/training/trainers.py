@@ -757,34 +757,37 @@ class MaskGitTrainer:
         attn_impl = self.attn_impl
         jit_kwargs = _state_jit_kwargs(self)
 
-        def loss_fn(params, frozen, images, text_embeds, text_mask, key):
+        def loss_fn(params, frozen, images, text_embeds, text_mask, cond, key):
             model: MaskGit = nnx.merge(graphdef, params, frozen)
             return model(
                 images,
                 rng=key,
                 text_embeds=text_embeds,
                 text_mask=text_mask,
+                cond_token_ids=cond,
                 attn_impl=attn_impl,
             )
 
         @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
-        def train_step(state, images, text_embeds, text_mask):
-            # leading dim = accum micro-batches
+        def train_step(state, images, text_embeds, text_mask, cond):
+            # leading dim = accum micro-batches; cond (super-res conditioning
+            # token ids) is None for base-stage training — a None xs entry
+            # passes through the scan untouched
             rng, step = state["rng"], state["step"]
             rng, *keys = jax.random.split(rng, accum + 1)
             keys = jnp.stack(keys)
 
             def micro(carry, xs):
                 g_acc, loss_acc = carry
-                img, te, tm, key = xs
+                img, te, tm, cnd, key = xs
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    state["params"], state["frozen"], img, te, tm, key
+                    state["params"], state["frozen"], img, te, tm, cnd, key
                 )
                 return (jax.tree.map(jnp.add, g_acc, grads), loss_acc + loss), None
 
             zero = jax.tree.map(jnp.zeros_like, state["params"])
             (g_sum, loss_sum), _ = jax.lax.scan(
-                micro, (zero, 0.0), (images, text_embeds, text_mask, keys)
+                micro, (zero, 0.0), (images, text_embeds, text_mask, cond, keys)
             )
             g_avg = jax.tree.map(lambda g: g / accum, g_sum)
             updates, opt = tx.update(g_avg, state["opt"], state["params"])
@@ -812,14 +815,23 @@ class MaskGitTrainer:
 
         return train_step
 
-    def train_step_arrays(self, images, text_embeds, text_mask):
-        """One step. Arrays shaped (accum, B, ...)."""
+    def train_step_arrays(self, images, text_embeds, text_mask, cond_token_ids=None):
+        """One step. Arrays shaped (accum, B, ...). `cond_token_ids`
+        (accum, B, n) conditions the cross-attention context — super-res
+        ids-path training with pre-tokenized low-res grids (raw-image
+        super-res training needs nothing here: the model auto-resizes,
+        B3 fix)."""
         with self.mesh:
             self.state, logs = self._train_step(
                 self.state,
                 _put_microbatched(images, self.mesh),
                 _put_microbatched(text_embeds, self.mesh),
                 _put_microbatched(text_mask, self.mesh),
+                (
+                    _put_microbatched(cond_token_ids, self.mesh)
+                    if cond_token_ids is not None
+                    else None
+                ),
             )
         # ONE device->host fetch for the whole log dict: per-scalar
         # float() would pay a ~30 ms tunnel RPC per entry per step
@@ -887,6 +899,7 @@ class MaskGitTrainer:
         token_paths,
         *,
         use_captions: bool = False,
+        cond_token_len: Optional[int] = None,
         loader_seed: int = 0,
         num_threads: int = 2,
         prefetch: int = 2,
@@ -907,6 +920,13 @@ class MaskGitTrainer:
         `steps * grad_accum_every` — no loader state file needed; the C++
         loader replays the shuffle stream from the seed (bit-identical order
         with num_threads=1, at-least-once with more).
+
+        `cond_token_len`: super-res training from PAIRED shards — each row
+        carries the target ids followed by its low-res conditioning ids
+        (`examples/tokenize_dataset.py --cond-image-size` emits this
+        layout); the trailing `cond_token_len` ids of every row feed the
+        cross-attention context. One loader, one shuffle stream — target
+        and conditioning can never fall out of alignment.
         """
         from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
         from muse_maskgit_pytorch_tpu.training.shard_loader import ShardLoader
@@ -927,7 +947,7 @@ class MaskGitTrainer:
 
         def accum_batches():
             while True:
-                toks, tes, tms = [], [], []
+                toks, conds, tes, tms = [], [], [], []
                 max_len = 1
                 for _ in range(self.grad_accum_every):
                     if use_captions:
@@ -938,7 +958,12 @@ class MaskGitTrainer:
                         tokens = loader.next_batch()
                         te = np.zeros((tokens.shape[0], 1, text_dim), np.float32)
                         tm = np.zeros((tokens.shape[0], 1), bool)
-                    toks.append(tokens.astype(np.int32))
+                    tokens = tokens.astype(np.int32)
+                    if cond_token_len:
+                        # paired rows: [target ids ++ cond ids]
+                        conds.append(tokens[:, -cond_token_len:])
+                        tokens = tokens[:, :-cond_token_len]
+                    toks.append(tokens)
                     tes.append(te)
                     tms.append(tm)
                     max_len = max(max_len, te.shape[1])
@@ -947,14 +972,19 @@ class MaskGitTrainer:
                     if pad:
                         tes[i] = np.pad(tes[i], ((0, 0), (0, pad), (0, 0)))
                         tms[i] = np.pad(tms[i], ((0, 0), (0, pad)))
-                yield np.stack(toks), np.stack(tes), np.stack(tms)
+                yield (
+                    np.stack(toks),
+                    np.stack(conds) if cond_token_len else None,
+                    np.stack(tes),
+                    np.stack(tms),
+                )
 
         batches = prefetch_iterator(accum_batches(), prefetch)
         try:
             with PreemptionGuard() as guard:
                 while self.steps < self.num_train_steps and not guard.requested:
-                    tokens, tes, tms = next(batches)
-                    logs = self.train_step_arrays(tokens, tes, tms)
+                    tokens, conds, tes, tms = next(batches)
+                    logs = self.train_step_arrays(tokens, tes, tms, cond_token_ids=conds)
                     self.print(f"{self.steps - 1}: maskgit loss: {logs['loss']}")
                     if (self.steps - 1) % self.save_model_every == 0:
                         self.save()

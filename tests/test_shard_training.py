@@ -125,3 +125,73 @@ def test_train_from_shards_unconditional(tmp_path, rng):
     t = _tiny_trainer(tmp_path, folder="run-uncond", num_train_steps=2)
     t.train_from_shards([shard], use_captions=False, num_threads=1)
     assert t.steps == 2
+
+
+def test_train_from_paired_cond_shards(tmp_path, rng):
+    """Super-res training from PAIRED shards: each row = [target ids ++
+    low-res cond ids] (tokenize_dataset.py --cond-image-size layout);
+    train_from_shards(cond_token_len=) feeds the trailing ids to the
+    cross-attention context. One loader = one shuffle stream, so the pair
+    can never misalign."""
+    codebook, seq_len, cond_len = 32, 16, 4
+
+    rng_np = np.random.default_rng(0)
+    target = rng_np.integers(0, codebook, size=(12, seq_len)).astype(np.int32)
+    cond = rng_np.integers(0, codebook, size=(12, cond_len)).astype(np.int32)
+    write_shard(tmp_path / "paired.bin", np.concatenate([target, cond], axis=1))
+
+    trainer = MaskGitTrainer(
+        MaskGit(
+            image_size=16,
+            transformer=MaskGitTransformer(
+                num_tokens=codebook, dim=32, seq_len=seq_len, depth=1,
+                dim_head=16, heads=2, t5_name=TINY_T5, rngs=nnx.Rngs(0),
+            ),
+        ),
+        num_train_steps=3,
+        batch_size=4,
+        results_folder=str(tmp_path / "rc"),
+        save_model_every=10**9,
+        use_ema=False,
+    )
+    losses = []
+    trainer.train_from_shards(
+        [tmp_path / "paired.bin"],
+        cond_token_len=cond_len,
+        log_fn=lambda logs: losses.append(logs["loss"]),
+    )
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+
+
+def test_train_step_arrays_cond_matches_direct(tmp_path, rng):
+    """The trainer's cond plumbing computes the same loss as calling the
+    model directly with cond_token_ids (same params, same rng split)."""
+    codebook, seq_len, cond_len = 32, 16, 4
+    mg = MaskGit(
+        image_size=16,
+        transformer=MaskGitTransformer(
+            num_tokens=codebook, dim=32, seq_len=seq_len, depth=1,
+            dim_head=16, heads=2, t5_name=TINY_T5, rngs=nnx.Rngs(0),
+        ),
+    )
+    trainer = MaskGitTrainer(
+        mg, num_train_steps=1, batch_size=4,
+        results_folder=str(tmp_path / "rd"), save_model_every=10**9,
+        use_ema=False, seed=7,
+    )
+    rng_np = np.random.default_rng(1)
+    ids = rng_np.integers(0, codebook, size=(1, 4, seq_len)).astype(np.int32)
+    cond = rng_np.integers(0, codebook, size=(1, 4, cond_len)).astype(np.int32)
+    te = rng_np.normal(size=(1, 4, 6, 32)).astype(np.float32)
+    tm = np.ones((1, 4, 6), bool)
+
+    # direct loss with the SAME key the step will draw
+    key0 = jax.random.split(jax.random.PRNGKey(7), 2)[1]
+    direct = float(
+        mg(
+            jnp.asarray(ids[0]), rng=key0, text_embeds=jnp.asarray(te[0]),
+            text_mask=jnp.asarray(tm[0]), cond_token_ids=jnp.asarray(cond[0]),
+        )
+    )
+    logs = trainer.train_step_arrays(ids, te, tm, cond_token_ids=cond)
+    np.testing.assert_allclose(logs["loss"], direct, rtol=1e-5)
