@@ -384,7 +384,7 @@ class GeneratePipeline:
             return [Image.fromarray(np.asarray(im)) for im in images]
         return images
 
-    def edit(self, images, edit_masks, prompts: Union[str, List[str]]):
+    def edit(self, images, edit_masks, prompts: Union[str, List[str]], cond_scale=None):
         """Batched editing / inpainting: regenerate the masked region of each
         image under its prompt (MaskGit.edit / Muse.edit with the pipeline's
         fixed shapes). `images`: (n, H, W, 3) float [0,1] or uint8 at the
@@ -393,7 +393,11 @@ class GeneratePipeline:
         regenerate. Requests chunk/pad to `batch_size` like __call__ —
         padding rows carry an all-False mask, so they pass through the
         decode untouched (zero editable positions) and are dropped. Returns
-        uint8 images (or PIL with return_pil=True)."""
+        uint8 images (or PIL with return_pil=True).
+
+        `cond_scale`: optional guidance override, scalar or per-prompt —
+        same traced per-row contract as __call__ (one compiled dynamic edit
+        program for every scale mix)."""
         if isinstance(prompts, str):
             prompts = [prompts]
         images = np.asarray(images)
@@ -407,6 +411,14 @@ class GeneratePipeline:
             f"prompts ({n}), images ({images.shape[0]}) and masks "
             f"({edit_masks.shape[0]}) must align"
         )
+        scales = None
+        if cond_scale is not None:
+            arr = np.asarray(cond_scale, np.float32)
+            scales = np.full((n,), float(arr), np.float32) if arr.ndim == 0 else arr.reshape(-1)
+            assert scales.shape == (n,), (
+                f"cond_scale must be a scalar or one value per prompt ({n}), "
+                f"got shape {scales.shape}"
+            )
         self.stats["requests"] += 1
 
         outputs = []
@@ -422,6 +434,12 @@ class GeneratePipeline:
                 mask_chunk = np.concatenate(
                     [mask_chunk, np.zeros((pad,) + mask_chunk.shape[1:], bool)]
                 )
+            chunk_scale = None
+            if scales is not None:
+                chunk_scale = self._scale_vector(
+                    list(scales[start : start + self.batch_size])
+                    + [self.cond_scale] * pad
+                )
             embeds, tmask = self._encode_prompts(chunk + [""] * pad)
             img_j = jnp.asarray(img_chunk)
             mask_j = jnp.asarray(mask_chunk)
@@ -433,9 +451,11 @@ class GeneratePipeline:
             key = self._next_key()
             if self.mesh is not None:
                 with self.mesh:
-                    imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key)
+                    imgs = self._edit_batch(
+                        img_j, mask_j, embeds, tmask, key, chunk_scale
+                    )
             else:
-                imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key)
+                imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key, chunk_scale)
             imgs_u8 = (jnp.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
@@ -451,11 +471,11 @@ class GeneratePipeline:
             return [Image.fromarray(np.asarray(im)) for im in out]
         return out
 
-    def _edit_batch(self, images, masks, embeds, tmask, key):
+    def _edit_batch(self, images, masks, embeds, tmask, key, cond_scale=None):
         # same guidance contract as __call__: the pipeline's negative prompt
         # applies to edit requests too
         common = dict(
-            cond_scale=self.cond_scale,
+            cond_scale=self.cond_scale if cond_scale is None else cond_scale,
             temperature=self.temperature,
             timesteps=self.timesteps,
             neg_text_embeds=self._neg_embeds(),
@@ -507,7 +527,8 @@ class ExportedPipeline:
         self.exported = exported
         self.meta = dict(meta)
 
-    def __call__(self, state, text_embeds, text_mask, key, cond_images=None):
+    def __call__(self, state, text_embeds, text_mask, key, cond_images=None,
+                 cond_scale=None):
         if isinstance(state, (list, tuple)):
             leaves = tuple(state)
         else:
@@ -520,6 +541,18 @@ class ExportedPipeline:
                 "architecture as at export time?"
             )
         args = (leaves, jnp.asarray(text_embeds), jnp.asarray(text_mask), key)
+        if self.meta.get("dynamic_cond_scale"):
+            # per-row guidance is a live program input: scalar broadcasts,
+            # a (batch,) vector gives each row its own scale, None = the
+            # default recorded at export time
+            b = self.meta["batch_size"]
+            scale = self.meta["cond_scale"] if cond_scale is None else cond_scale
+            args = args + (jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (b,)),)
+        elif cond_scale is not None:
+            raise ValueError(
+                "this artifact bakes a static cond_scale; re-export with "
+                "dynamic_cond_scale=True for per-call guidance"
+            )
         if self.meta["needs_cond_images"]:
             if cond_images is None:
                 raise ValueError(
@@ -557,6 +590,7 @@ def export_pipeline(
     temperature: float = 1.0,
     sampler: str = "auto",
     platforms: Optional[Sequence[str]] = None,
+    dynamic_cond_scale: bool = False,
 ) -> ExportedPipeline:
     """AOT-export the fixed-shape generate program (see `ExportedPipeline`).
 
@@ -565,35 +599,42 @@ def export_pipeline(
     default `sampler="auto"` the traced sampler follows the EXPORTING host's
     backend — pass `sampler="fused"` explicitly when cross-lowering to TPU so
     the artifact carries the Pallas sampling kernel.
+
+    `dynamic_cond_scale=True` bakes the guidance scale as a PROGRAM INPUT —
+    a (batch,) f32 vector argument (after the PRNG key) gives every row its
+    own scale at call time, so one deployed artifact serves any per-request
+    guidance mix (generate()'s per-sample traced path); `cond_scale` then
+    only names the default recorded in meta.
     """
     is_cascade = isinstance(model, Muse)
     graphdef, state = nnx.split(model)
     treedef = jax.tree.structure(state)
     leaves = jax.tree.leaves(state)
     tr = (model.base_maskgit if is_cascade else model).transformer
-    gen_kwargs = dict(
-        timesteps=timesteps, cond_scale=cond_scale, temperature=temperature,
-        sampler=sampler,
-    )
+    gen_kwargs = dict(timesteps=timesteps, temperature=temperature, sampler=sampler)
 
     standalone_cond = (not is_cascade) and model.resize_image_for_cond_image
 
     def run(leaves_in, text_embeds, text_mask, key, *rest):
+        rest = list(rest)
+        scale = rest.pop(0)[None, :] if dynamic_cond_scale else cond_scale
         m = nnx.merge(graphdef, jax.tree.unflatten(treedef, list(leaves_in)))
         if is_cascade:
             k1, k2 = jax.random.split(key)
             low = m.base_maskgit.generate(
-                text_embeds=text_embeds, text_mask=text_mask, rng=k1, **gen_kwargs
+                text_embeds=text_embeds, text_mask=text_mask, rng=k1,
+                cond_scale=scale, **gen_kwargs,
             )
             low = jnp.clip(low, 0.0, 1.0)
             images = m.superres_maskgit.generate(
                 text_embeds=text_embeds, text_mask=text_mask, rng=k2,
-                cond_images=low, **gen_kwargs,
+                cond_images=low, cond_scale=scale, **gen_kwargs,
             )
         else:
             images = m.generate(
                 text_embeds=text_embeds, text_mask=text_mask, rng=key,
-                cond_images=rest[0] if standalone_cond else None, **gen_kwargs,
+                cond_images=rest[0] if standalone_cond else None,
+                cond_scale=scale, **gen_kwargs,
             )
         return (jnp.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
@@ -604,6 +645,8 @@ def export_pipeline(
         jax.ShapeDtypeStruct((batch_size, text_len), jnp.bool_),
         jax.ShapeDtypeStruct((2,), jnp.uint32),  # raw PRNGKey
     ]
+    if dynamic_cond_scale:
+        arg_avals.append(jax.ShapeDtypeStruct((batch_size,), jnp.float32))
     if standalone_cond:
         s = model.cond_image_size
         arg_avals.append(jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.float32))
@@ -622,6 +665,7 @@ def export_pipeline(
         "sampler": sampler,
         "n_state_leaves": len(leaves),
         "needs_cond_images": bool(standalone_cond),
+        "dynamic_cond_scale": bool(dynamic_cond_scale),
         "platforms": list(exported.platforms),
         "image_size": int(
             (model.superres_maskgit if is_cascade else model).image_size

@@ -109,9 +109,12 @@ class DynamicBatcher:
             self._queues["generate"].put(p)
         return pendings
 
-    def submit_edit(self, prompts, sources, masks) -> List[_Pending]:
+    def submit_edit(self, prompts, sources, masks, cond_scales=None) -> List[_Pending]:
+        if cond_scales is None:
+            cond_scales = [None] * len(prompts)
         pendings = [
-            _Pending(p, source=s, mask=m) for p, s, m in zip(prompts, sources, masks)
+            _Pending(p, source=s, mask=m, cond_scale=c)
+            for p, s, m, c in zip(prompts, sources, masks, cond_scales)
         ]
         for p in pendings:
             self._queues["edit"].put(p)
@@ -165,10 +168,21 @@ class DynamicBatcher:
                 continue
             try:
                 if kind == "edit":
+                    edit_scales = None
+                    if any(p.cond_scale is not None for p in batch):
+                        edit_scales = [
+                            (
+                                p.cond_scale
+                                if p.cond_scale is not None
+                                else self.pipeline.cond_scale
+                            )
+                            for p in batch
+                        ]
                     images = self.pipeline.edit(
                         np.stack([p.source for p in batch]),
                         np.stack([p.mask for p in batch]),
                         [p.prompt for p in batch],
+                        cond_scale=edit_scales,
                     )
                 else:
                     # per-request guidance: when ANY coalesced request set a
@@ -300,8 +314,10 @@ class GenerateServer:
     def _generate(self, prompts: List[str], cond_scales=None) -> List[str]:
         return self._await(self.batcher.submit(prompts, cond_scales))
 
-    def _edit(self, prompts: List[str], sources, masks) -> List[str]:
-        return self._await(self.batcher.submit_edit(prompts, sources, masks))
+    def _edit(self, prompts: List[str], sources, masks, cond_scales=None) -> List[str]:
+        return self._await(
+            self.batcher.submit_edit(prompts, sources, masks, cond_scales)
+        )
 
     def _handler_class(self):
         server = self
@@ -358,6 +374,28 @@ class GenerateServer:
                             400, {"error": 'body must be {"prompts": ["...", ...]}'}
                         )
                         return
+                    # optional per-request guidance (both endpoints): a
+                    # number (applies to every prompt in this request) or
+                    # one number per prompt; coalesces with other requests'
+                    # scales into one per-row batch
+                    scales = req.get("cond_scale")
+                    if scales is not None:
+                        if isinstance(scales, (int, float)):
+                            scales = [float(scales)] * len(prompts)
+                        if not (
+                            isinstance(scales, list)
+                            and len(scales) == len(prompts)
+                            and all(isinstance(s, (int, float)) for s in scales)
+                        ):
+                            self._reply(
+                                400,
+                                {
+                                    "error": "cond_scale must be a number "
+                                    "or one number per prompt"
+                                },
+                            )
+                            return
+                        scales = [float(s) for s in scales]
                     if self.path == "/edit":
                         srcs = req.get("images") or []
                         masks = req.get("masks") or []
@@ -398,30 +436,8 @@ class GenerateServer:
                                     },
                                 )
                                 return
-                        images = server._edit(prompts, sources, edit_masks)
+                        images = server._edit(prompts, sources, edit_masks, scales)
                     else:
-                        # optional per-request guidance: a number (applies to
-                        # every prompt in this request) or one number per
-                        # prompt; coalesces with other requests' scales into
-                        # one per-row batch
-                        scales = req.get("cond_scale")
-                        if scales is not None:
-                            if isinstance(scales, (int, float)):
-                                scales = [float(scales)] * len(prompts)
-                            if not (
-                                isinstance(scales, list)
-                                and len(scales) == len(prompts)
-                                and all(isinstance(s, (int, float)) for s in scales)
-                            ):
-                                self._reply(
-                                    400,
-                                    {
-                                        "error": "cond_scale must be a number "
-                                        "or one number per prompt"
-                                    },
-                                )
-                                return
-                            scales = [float(s) for s in scales]
                         images = server._generate(prompts, scales)
                     self._reply(200, {"images": images})
                 except TimeoutError as e:

@@ -411,3 +411,68 @@ def test_pipeline_output_size_property():
         muse, batch_size=2, timesteps=2, text_len=16, image_size=8
     )
     assert pipe3.output_size == (16, 16)
+
+
+def test_export_dynamic_cond_scale(tmp_path):
+    """dynamic_cond_scale=True bakes guidance as a PROGRAM INPUT: one
+    artifact serves any per-row scale mix, row-exact with the live
+    per-sample traced path."""
+    import jax
+
+    mg = _maskgit()
+    ep = export_pipeline(
+        mg, batch_size=2, text_len=16, timesteps=2, cond_scale=3.0,
+        dynamic_cond_scale=True,
+    )
+    embeds, mask = _embeds()
+    key = jax.random.PRNGKey(5)
+    _, state = nnx.split(mg)
+
+    out = ep(state, embeds, mask, key, cond_scale=[2.0, 6.0])
+    direct = mg.generate(
+        text_embeds=embeds, text_mask=mask, rng=key, timesteps=2,
+        cond_scale=jnp.asarray([[2.0, 6.0]]),
+    )
+    direct_u8 = (jnp.clip(direct, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    assert (np.asarray(out) == np.asarray(direct_u8)).all()
+
+    # None falls back to the default recorded in meta; scalar broadcasts;
+    # serialization round-trips the dynamic input
+    out_default = ep(state, embeds, mask, key)
+    out_scalar = ep(state, embeds, mask, key, cond_scale=3.0)
+    assert (np.asarray(out_default) == np.asarray(out_scalar)).all()
+    path = ep.save(tmp_path / "dyn")
+    loaded = load_exported_pipeline(path)
+    out2 = loaded(state, embeds, mask, key, cond_scale=[2.0, 6.0])
+    assert (np.asarray(out2) == np.asarray(out)).all()
+
+    # static artifacts reject a per-call scale loudly
+    ep_static = export_pipeline(mg, batch_size=2, text_len=16, timesteps=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dynamic_cond_scale"):
+        ep_static(state, embeds, mask, key, cond_scale=2.0)
+
+
+def test_pipeline_edit_per_prompt_cond_scale():
+    """edit() takes per-prompt guidance like __call__ (kept pixels identical
+    regardless of scale; scales change only the regenerated region)."""
+    import jax
+
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=13,
+    )
+    img = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3)), np.float32
+    )
+    msk = np.zeros((2, 16, 16), bool)
+    msk[:, :8, :] = True
+    out = pipe.edit(img, msk, ["a", "b"], cond_scale=[1.5, 6.0])
+    assert out.shape == (2, 16, 16, 3)
+    # scalar form shares the same compiled per-row program
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    n0 = _generate_jit._cache_size()
+    pipe.edit(img, msk, ["a", "b"], cond_scale=2.5)
+    assert _generate_jit._cache_size() == n0
