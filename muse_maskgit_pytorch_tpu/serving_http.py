@@ -168,9 +168,12 @@ class DynamicBatcher:
                 continue
             try:
                 if kind == "edit":
-                    edit_scales = None
+                    # pass cond_scale only when a request set one: all-default
+                    # batches keep the static program (and duck-typed test
+                    # pipelines need not accept the kwarg)
+                    kw = {}
                     if any(p.cond_scale is not None for p in batch):
-                        edit_scales = [
+                        kw["cond_scale"] = [
                             (
                                 p.cond_scale
                                 if p.cond_scale is not None
@@ -182,7 +185,7 @@ class DynamicBatcher:
                         np.stack([p.source for p in batch]),
                         np.stack([p.mask for p in batch]),
                         [p.prompt for p in batch],
-                        cond_scale=edit_scales,
+                        **kw,
                     )
                 else:
                     # per-request guidance: when ANY coalesced request set a

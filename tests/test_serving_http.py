@@ -309,3 +309,28 @@ def test_healthz_reports_warm_surfaces(server):
     status, out = _get(server.port, "/healthz")
     assert status == 200
     assert "generate" in out["warm_surfaces"]
+
+
+def test_edit_endpoint_cond_scale(server):
+    size = server.pipeline.image_size
+    img = np.zeros((size, size, 3), np.uint8)
+    mask = np.zeros((size, size), np.uint8)
+    mask[: size // 2] = 255
+    from PIL import Image
+
+    def b64(arr, mode):
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    status, out = _post(
+        server.port,
+        {
+            "prompts": ["edit me"],
+            "images": [b64(img, "RGB")],
+            "masks": [b64(mask, "L")],
+            "cond_scale": 5.5,
+        },
+        path="/edit",
+    )
+    assert status == 200 and len(out["images"]) == 1
