@@ -396,6 +396,94 @@ def exp_cfg_fold():
     log(f"  per-row traced scales: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
 
 
+
+def exp_anatomy():
+    """Post-fold decode anatomy at the headline config (b32, T=18, compact,
+    fused sampler): what dominates now that the head matmul + sampler HBM
+    read are halved? Stage isolation:
+      * full vs return_ids=True  -> the VAE decode's share (both arms fetch
+        only a device-side scalar checksum, so host transfer cancels);
+      * T=18 vs T=1 (ids-only)   -> per-step cost (ctx precompute + compile
+        fixtures cancel);
+      * amortized in-process scans of the fused sampler and the bare vocab
+        head at the production single-batch compact shapes.
+    Run: python bench_sweep.py anatomy"""
+    import functools
+
+    from muse_maskgit_pytorch_tpu.ops.sampling_kernel import fused_topk_gumbel_sample
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    base = build(256, 256, vae=vae)
+    batch = 32
+    te = jax.random.normal(jax.random.PRNGKey(0), (batch, 64, 768), jnp.float32)
+    tm = jnp.ones((batch, 64), bool)
+
+    def timed(T, ids_only, n=5):
+        def run(key):
+            return base.generate(
+                text_embeds=te, text_mask=tm, rng=key, timesteps=T,
+                cond_scale=3.0, return_ids=ids_only,
+            )
+        out = run(jax.random.PRNGKey(9))
+        cs = float(out.sum())
+        t0 = time.perf_counter()
+        for i in range(n):
+            cs += float(run(jax.random.PRNGKey(i)).sum())
+        return (time.perf_counter() - t0) / n * 1000  # ms
+
+    full18 = timed(18, False)
+    ids18 = timed(18, True)
+    ids1 = timed(1, True)
+    per_step = (ids18 - ids1) / 17
+    log(f"  full T18: {full18:7.1f} ms/batch ({batch/ (full18/1000):.1f} img/s)")
+    log(f"  ids  T18: {ids18:7.1f} ms  -> VAE decode share {full18 - ids18:6.1f} ms")
+    log(f"  ids  T1 : {ids1:7.1f} ms  (ctx precompute + step0 + RPC floor)")
+    log(f"  per decode step (steps 2..18): {per_step:6.2f} ms")
+
+    # fused sampler at the production compact post-fold shape: single-batch
+    # rows (the CFG pair is folded before the head). Average masked count
+    # under the cosine schedule at seq/8 buckets ~ 0.35*seq; use the step-0
+    # worst case AND the mid-schedule bucket.
+    V = 65537
+    for rows in (batch * 256, batch * 128):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (rows, V), jnp.bfloat16)
+
+        @jax.jit
+        def samp_scan(logits, seed):
+            def body(c, i):
+                ids, prob = fused_topk_gumbel_sample(
+                    logits, 6554, jnp.float32(1.0), seed + i
+                )
+                return c + prob.sum() + ids.sum(), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(20))
+            return out
+        _ = float(samp_scan(logits, jnp.int32(7)))
+        t0 = time.perf_counter()
+        _ = float(samp_scan(logits, jnp.int32(8)))
+        dt = (time.perf_counter() - t0) / 20 * 1000
+        log(f"  fused sampler ({rows} rows x {V}): {dt:6.2f} ms/step")
+
+    # bare vocab head at the same shapes (bf16 MXU)
+    W = jax.random.normal(jax.random.PRNGKey(1), (512, V), jnp.bfloat16)
+    for rows in (batch * 256, batch * 128):
+        e = jax.random.normal(jax.random.PRNGKey(2), (rows, 512), jnp.bfloat16)
+
+        @jax.jit
+        def head_scan(e, W):
+            def body(c, _):
+                y = e @ W
+                return c + y.sum().astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(20))
+            return out
+        _ = float(head_scan(e, W))
+        t0 = time.perf_counter()
+        _ = float(head_scan(e, W))
+        dt = (time.perf_counter() - t0) / 20 * 1000
+        log(f"  vocab head ({rows} x 512 @ 512 x {V}): {dt:6.2f} ms/step")
+
+
 def exp_train_mfu():
     """MaskGit train-step throughput + model-FLOPs MFU at reference scale
     (ids path, the r2 535 img/s configuration). Amortizes 20 donated steps
@@ -649,5 +737,7 @@ if __name__ == "__main__":
         exp_varres()
     elif cmd == "cfgfold":
         exp_cfg_fold()
+    elif cmd == "anatomy":
+        exp_anatomy()
     else:
         main()

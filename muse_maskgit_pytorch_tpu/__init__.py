@@ -29,6 +29,8 @@ from muse_maskgit_pytorch_tpu.utils.eval import (
     compute_feature_stats,
     fid_score,
     frechet_distance,
+    make_inception_extractor,
+    make_vgg_extractor,
 )
 
 __version__ = "0.1.0"
@@ -55,4 +57,6 @@ __all__ = [
     "compute_feature_stats",
     "fid_score",
     "frechet_distance",
+    "make_inception_extractor",
+    "make_vgg_extractor",
 ]
