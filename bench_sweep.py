@@ -484,6 +484,39 @@ def exp_anatomy():
         log(f"  vocab head ({rows} x 512 @ 512 x {V}): {dt:6.2f} ms/step")
 
 
+
+def exp_ln_dtype():
+    """Probe: LayerNorm computes in f32 with casts (models/transformer.py) —
+    if XLA materializes those intermediates, bf16 LN would halve that HBM
+    traffic (~33 LN applications/step). Monkeypatch A/B in one process,
+    clearing the generate jit cache between arms (the LN is not inside any
+    nested jit). MEASUREMENT ONLY — changing LN dtype changes tokens, so a
+    win would ship as an opt-in knob. Run: python bench_sweep.py lndtype"""
+    import muse_maskgit_pytorch_tpu.models.transformer as T
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    base = build(256, 256, vae=vae)
+
+    orig = T.LayerNorm.__call__
+
+    def ln_bf16(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        normed = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return normed * self.gamma[...].astype(x.dtype)
+
+    for rep in range(2):
+        for arm, fn in [("f32-LN", orig), ("bf16-LN", ln_bf16)]:
+            T.LayerNorm.__call__ = fn
+            _generate_jit.clear_cache()
+            ips, dt = time_generate(base, 32, n_runs=3)
+            log(f"  rep {rep} {arm}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+    T.LayerNorm.__call__ = orig
+
+
 def exp_train_mfu():
     """MaskGit train-step throughput + model-FLOPs MFU at reference scale
     (ids path, the r2 535 img/s configuration). Amortizes 20 donated steps
@@ -739,5 +772,7 @@ if __name__ == "__main__":
         exp_cfg_fold()
     elif cmd == "anatomy":
         exp_anatomy()
+    elif cmd == "lndtype":
+        exp_ln_dtype()
     else:
         main()

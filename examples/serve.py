@@ -43,6 +43,13 @@ def main():
         help="skip the boot-time compile (first request pays it instead)",
     )
     p.add_argument(
+        "--warmup-surfaces", default="generate",
+        help="comma list of serving programs to compile at boot: any of "
+        "generate,dynamic_scale,edit — or 'all'. Every surface the "
+        "deployment enables should be here, or its FIRST live request eats "
+        "the cold compile (GeneratePipeline.warmup)",
+    )
+    p.add_argument(
         "--image-size", default=None, metavar="N|HxW",
         help="serve a non-native output resolution — an int, or HxW for a "
         "non-square aspect ratio (base-stage size; a cascade scales it by "
@@ -72,9 +79,14 @@ def main():
         rerank_candidates=args.rerank,
         image_size=_size(args.image_size) if args.image_size else None,
     )
+    surfaces = (
+        "all"
+        if args.warmup_surfaces.strip() == "all"
+        else tuple(s.strip() for s in args.warmup_surfaces.split(",") if s.strip())
+    )
     server = GenerateServer(
         pipe, host=args.host, port=args.port, max_wait_ms=args.max_wait_ms,
-        warmup=not args.no_warmup,
+        warmup=False if args.no_warmup else surfaces,
     )
     print(f"warming up and serving on http://{args.host}:{args.port} ...", flush=True)
     server.start()

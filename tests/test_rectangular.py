@@ -173,3 +173,66 @@ def test_nonsquare_native_table_passthrough():
     )
     with pytest.raises(AssertionError, match="square trained table"):
         t._positions(24, grid=(4, 6))  # non-native transfer: no source grid
+
+
+def test_nonsquare_trained_grid_orientation_validated():
+    """ADVICE r3: a natively non-square model must reject a transposed
+    pos_grid instead of silently returning the row-major table."""
+    import pytest
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+
+    tr = MaskGitTransformer(
+        num_tokens=16, dim=16, seq_len=12, seq_hw=(3, 4), depth=1,
+        dim_head=8, heads=2, text_embed_dim=16, rngs=nnx.Rngs(0),
+    )
+    ok = tr._positions(12, grid=(3, 4))  # trained orientation
+    assert ok.shape == (12, 16)
+    with pytest.raises(AssertionError, match="trained grid"):
+        tr._positions(12, grid=(4, 3))  # transposed: must refuse
+    # seq_hw must tile seq_len
+    with pytest.raises(AssertionError, match="tile"):
+        MaskGitTransformer(
+            num_tokens=16, dim=16, seq_len=12, seq_hw=(5, 3), depth=1,
+            dim_head=8, heads=2, text_embed_dim=16, rngs=nnx.Rngs(0),
+        )
+
+
+def test_flat_nonsquare_training_ids_rejected():
+    """ADVICE r3: flat (b, seq) pre-tokenized ids at a non-native,
+    non-square length cannot name their grid — training must reject them
+    loudly instead of silently using prefix positions."""
+    import jax
+    import pytest
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+
+    tr = MaskGitTransformer(
+        num_tokens=16, dim=16, seq_len=16, depth=1, dim_head=8, heads=2,
+        text_embed_dim=16, rngs=nnx.Rngs(0),
+    )
+    mg = MaskGit(image_size=16, transformer=tr)
+    te = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16))
+    flat = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 16)
+    with pytest.raises(AssertionError, match="aspect ratio"):
+        mg(flat, rng=jax.random.PRNGKey(2), text_embeds=te)
+    # the same length as a named 3-D grid trains fine
+    grid = flat.reshape(2, 3, 4)
+    loss = mg(grid, rng=jax.random.PRNGKey(2), text_embeds=te)
+    assert float(loss) > 0
+
+
+def test_muse_rejects_non_integral_cascade_ratio():
+    import pytest
+
+    from muse_maskgit_pytorch_tpu.models.maskgit import Muse
+
+    from tests.test_maskgit import base_maskgit, superres_maskgit
+
+    base = base_maskgit(image_size=24)  # 24 -> 32 is not integral
+    sr = superres_maskgit()
+    with pytest.raises(AssertionError, match="exact\\s+multiple|exact multiple"):
+        Muse(base, sr)
