@@ -476,3 +476,22 @@ def test_pipeline_edit_per_prompt_cond_scale():
     n0 = _generate_jit._cache_size()
     pipe.edit(img, msk, ["a", "b"], cond_scale=2.5)
     assert _generate_jit._cache_size() == n0
+
+
+def test_pipeline_cascade_per_prompt_cond_scale():
+    """Per-prompt guidance rides BOTH cascade stages (the same per-row
+    vector conditions base and super-res decodes), row-exact vs whole-batch
+    runs at that row's scale."""
+    def make():
+        return GeneratePipeline(
+            Muse(_maskgit(16), _maskgit(32, cond=16, seed=1)),
+            batch_size=2, timesteps=2, text_len=16, return_pil=False,
+            compile_cache=False, seed=17,
+        )
+
+    mixed = make()(["a", "b"], cond_scale=[2.0, 6.0])
+    lo = make()(["a", "b"], cond_scale=2.0)
+    hi = make()(["a", "b"], cond_scale=6.0)
+    assert mixed.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(mixed[0], lo[0])
+    np.testing.assert_array_equal(mixed[1], hi[1])
