@@ -134,6 +134,43 @@ trainer2.save_sample_results(step=99)
 import glob, os
 pngs = glob.glob(os.path.join(outdir, "maskgit.99.png"))
 assert (len(pngs) == 1) == is_main_process() or len(pngs) == 1
+
+# phase 2: the GAN trainer multi-process — both optimizers + EMA in the
+# donated jitted step over sharded state, every-process Orbax save
+from muse_maskgit_pytorch_tpu.training.trainers import VQGanVAETrainer
+
+class FixedDataset:
+    def __init__(self, n=16, size=16):
+        g = np.random.default_rng(0)
+        self.data = g.uniform(size=(n, size, size, 3)).astype(np.float32)
+    def __len__(self):
+        return len(self.data)
+    def __getitem__(self, i):
+        return self.data[i]
+
+gan_vae = VQGanVAE(dim=16, layers=2, codebook_size=16, rngs=nnx.Rngs(0))
+gan = VQGanVAETrainer(
+    gan_vae,
+    folder=None,
+    dataset=FixedDataset(),
+    num_train_steps=2,
+    batch_size=8,
+    image_size=16,
+    lr=1e-4,
+    valid_frac=0.0,
+    use_ema=False,
+    mesh=mesh,
+    shard_state=True,
+    save_results_every=10**9,
+    save_model_every=10**9,
+    results_folder=os.path.join(outdir, "gan"),
+)
+gan_losses = []
+gan.train(lambda logs: gan_losses.append(logs["loss"]))
+assert len(gan_losses) == 2 and all(np.isfinite(l) for l in gan_losses)
+gan.save()
+print(f"GAN {proc_id} {gan_losses[0]:.6f} {gan_losses[1]:.6f}", flush=True)
+
 print(f"OK {proc_id}", flush=True)
 """
 
@@ -172,7 +209,7 @@ def test_two_process_cluster_train_save_restore(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -192,3 +229,12 @@ def test_two_process_cluster_train_save_restore(tmp_path):
     assert losses_of(outs[0]) == losses_of(outs[1])
     # exactly one rank wrote the sample PNG into the SHARED folder
     assert (outdir / "maskgit.99.png").exists()
+
+    # GAN-trainer phase ran on both processes with matching losses
+    def gan_losses_of(out):
+        for line in out.splitlines():
+            if line.startswith("GAN"):
+                return line.split()[2:]
+        raise AssertionError(f"no GAN line:\n{out[-2000:]}")
+
+    assert gan_losses_of(outs[0]) == gan_losses_of(outs[1])
