@@ -13,6 +13,7 @@ import pytest
 from muse_maskgit_pytorch_tpu import Muse
 from tests.test_maskgit import (
     CODEBOOK,
+    TINY_T5,
     base_maskgit,
     superres_maskgit,
     text_embeds_for,
@@ -165,12 +166,26 @@ def test_rect_training(rng):
 
 def test_nonsquare_native_table_passthrough():
     # a transformer built with a natively non-square seq_len keeps its
-    # trained row-major table when the grid is named at native length
-    t = tiny_transformer(12)  # not a perfect square
+    # trained row-major table when the grid is named at native length —
+    # PROVIDED the orientation matches the trained grid (`seq_hw`; since
+    # the r3-advice fix an unnamed orientation is rejected rather than
+    # silently accepted, see test_nonsquare_trained_grid_orientation_*)
+    from flax import nnx
+
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+
+    t = MaskGitTransformer(
+        num_tokens=CODEBOOK, dim=32, seq_len=12, seq_hw=(3, 4), depth=1,
+        dim_head=16, heads=2, t5_name=TINY_T5, rngs=nnx.Rngs(0),
+    )
     got = np.asarray(t._positions(12, grid=(3, 4)))
     np.testing.assert_array_equal(
         got, np.asarray(t.pos_emb(jnp.arange(12)))
     )
+    # a model built WITHOUT seq_hw cannot validate orientation: refuse
+    bare = tiny_transformer(12)
+    with pytest.raises(AssertionError, match="trained grid"):
+        bare._positions(12, grid=(3, 4))
     with pytest.raises(AssertionError, match="square trained table"):
         t._positions(24, grid=(4, 6))  # non-native transfer: no source grid
 

@@ -495,3 +495,25 @@ def test_pipeline_cascade_per_prompt_cond_scale():
     assert mixed.shape == (2, 32, 32, 3)
     np.testing.assert_array_equal(mixed[0], lo[0])
     np.testing.assert_array_equal(mixed[1], hi[1])
+
+
+def test_pipeline_warmup_surfaces_cascade():
+    """Multi-surface warmup on a CASCADE pipeline: the edit surface drives
+    Muse.edit (both stages) with an all-False mask; live edit requests then
+    reuse the compiled programs."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import _generate_jit
+
+    pipe = GeneratePipeline(
+        Muse(_maskgit(16), _maskgit(32, cond=16, seed=1)),
+        batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=4,
+    )
+    pipe.warmup(("generate", "edit"))
+    assert pipe.warm_surfaces == {"generate", "edit"}
+    n0 = _generate_jit._cache_size()
+    img = np.zeros((2, 32, 32, 3), np.float32)
+    msk = np.zeros((2, 32, 32), bool)
+    msk[:, 8:24, 8:24] = True
+    out = pipe.edit(img, msk, ["a", "b"])
+    assert out.shape == (2, 32, 32, 3)
+    assert _generate_jit._cache_size() == n0, "live cascade edit recompiled"
