@@ -397,6 +397,52 @@ def exp_cfg_fold():
 
 
 
+def exp_null_fold():
+    """r4 trunk lever: the CFG null half's cross-attention is exactly the
+    per-layer constant to_out(null_v) when no conditioning tokens are
+    attendable (Attention.null_out), so null rows skip cross-attention
+    entirely — q/out projections included. Interleaved in-process A/B at the
+    headline config (different static null_fold values trace separately).
+    Also drives the critic path (the critic's doubled forward folds too) and
+    the per-row dynamic-scale serving program. Run:
+    python bench_sweep.py nullfold"""
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(
+        dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False,
+        rngs=nnx.Rngs(0),
+    )
+    base = build(256, 256, vae=vae)
+    log("== base 256px b32: null_fold A/B (interleaved, best of 3 each)")
+    results = {True: [], False: []}
+    for rep in range(2):
+        for fold in (False, True):
+            ips, dt = time_generate(base, 32, null_fold=fold, n_runs=3)
+            results[fold].append(ips)
+            log(f"  rep {rep} null_fold={fold}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+    for fold in (False, True):
+        log(f"  null_fold={fold}: best {max(results[fold]):.2f} img/s, all {[f'{x:.1f}' for x in results[fold]]}")
+
+    log("== self-critic decode b16: null_fold A/B (critic forward folds too)")
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit as _MG
+    base_sc = _MG(
+        image_size=256, transformer=base.transformer, vae=vae,
+        self_token_critic=True, rngs=nnx.Rngs(1),
+    )
+    for fold in (False, True):
+        ips, dt = time_generate(base_sc, 16, null_fold=fold, n_runs=3)
+        log(f"  null_fold={fold}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+
+    log("== per-row dynamic guidance b32: null_fold A/B (serving program)")
+    scales = jnp.linspace(1.0, 6.0, 32)[None, :]
+    for fold in (False, True):
+        ips, dt = time_generate(
+            base, 32, cond_scale_override=scales, null_fold=fold, n_runs=3
+        )
+        log(f"  null_fold={fold}: {ips:8.2f} img/s ({dt*1000:.0f} ms/batch)")
+
+
 def exp_anatomy():
     """Post-fold decode anatomy at the headline config (b32, T=18, compact,
     fused sampler): what dominates now that the head matmul + sampler HBM
@@ -770,6 +816,8 @@ if __name__ == "__main__":
         exp_varres()
     elif cmd == "cfgfold":
         exp_cfg_fold()
+    elif cmd == "nullfold":
+        exp_null_fold()
     elif cmd == "anatomy":
         exp_anatomy()
     elif cmd == "lndtype":

@@ -160,6 +160,7 @@ class MaskGit(nnx.Module):
         known_token_ids: Optional[Array] = None,
         known_mask: Optional[Array] = None,
         cfg_fold: bool = True,
+        null_fold: bool = True,
     ) -> Array:
         """Text -> images via iterative parallel decode, fully jitted.
 
@@ -203,6 +204,14 @@ class MaskGit(nnx.Module):
         logits, but the vocab-65537 head matmul and the sampler's HBM read
         run on HALF the rows. False reproduces the r3 combine order
         (logits-space / in-kernel) bit-exactly.
+
+        `null_fold` (default True): the CFG null half's cross-attention is
+        exactly a per-layer constant when no conditioning image tokens are
+        attendable (`Attention.null_out`), so the null rows skip
+        cross-attention entirely. Bit-exact tokens vs null_fold=False
+        (tests/test_null_fold.py); no-op on super-res stages (conditioning
+        tokens stay attendable in the null half) and under negative prompts
+        (the neg half attends real context).
 
         `image_size`: generate at a resolution the model was not trained at
         (variable-resolution sampling). The transformer's learned positional
@@ -378,6 +387,7 @@ class MaskGit(nnx.Module):
             segments=segments,
             decode_images=not return_ids and exists(self.vae),
             cfg_fold=cfg_fold,
+            null_fold=null_fold,
         )
         if return_ids or not exists(self.vae):
             return ids
@@ -915,6 +925,7 @@ def _double_ctx_kv(ctx_kv):
         "segments",
         "decode_images",
         "cfg_fold",
+        "null_fold",
     ),
 )
 def _generate_jit(
@@ -944,6 +955,7 @@ def _generate_jit(
     segments=None,
     decode_images=True,
     cfg_fold=True,
+    null_fold=True,
 ):
     model: MaskGit = nnx.merge(graphdef, state)
     transformer = model.transformer
@@ -1171,6 +1183,7 @@ def _generate_jit(
             return_embed=True,
             return_raw_double=fuse_cfg,
             cfg_fold=cfg_fold,
+            null_fold=null_fold,
             attn_impl=attn_impl,
             gather_positions=gather_pos,
             context_kv=ctx_kv,
@@ -1254,6 +1267,7 @@ def _generate_jit(
                 conditioning_token_ids=cond_ids,
                 cond_scale=step_scale,
                 cfg_fold=cfg_fold,
+                null_fold=null_fold,
                 context_kv=critic_ctx_kv,
                 pos_grid=pos_grid,
             )

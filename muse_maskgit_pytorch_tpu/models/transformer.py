@@ -112,6 +112,7 @@ class Attention(nnx.Module):
         self.dim_head = dim_head
         self.cross_attend = cross_attend
         self.flash = flash
+        self.dtype = dtype
         inner_dim = dim_head * heads
 
         self.norm = LayerNorm(dim, rngs=rngs)
@@ -123,6 +124,23 @@ class Attention(nnx.Module):
         self.q_scale = nnx.Param(jnp.ones((dim_head,)))
         self.k_scale = nnx.Param(jnp.ones((dim_head,)))
         self.to_out = nnx.Linear(inner_dim, dim, use_bias=False, dtype=dtype, rngs=rngs)
+
+    def null_out(self) -> Array:
+        """(1, 1, dim) cross-attention output of a query whose context is
+        FULLY masked.
+
+        With every context position masked out, the softmax over
+        {null KV ⧺ masked context} is exactly one-hot on the null position
+        (the -1e30 mask bias underflows to 0 under exp in f32 and bf16), so
+        the attention output is `to_out(null_v)` — a CONSTANT independent of
+        the query and of the hidden states. The CFG null half of a
+        doubled-batch forward therefore needs no cross-attention at all
+        (`TransformerBlocks(null_rows=...)`): per decode step this removes
+        the q/out projections and the attention itself for half the trunk's
+        rows. Bit-exact vs the masked attention (tests/test_null_fold.py)."""
+        nv = self.null_kv[...][1]  # (heads, 1, dim_head)
+        v = nv.reshape(1, 1, self.heads * self.dim_head)
+        return self.to_out(v.astype(self.dtype))
 
     def compute_kv(self, kv_input: Array):
         """Raw K/V projections of a (static) context, for caching across a
@@ -263,16 +281,40 @@ class TransformerBlocks(nnx.Module):
         context_mask: Optional[Array] = None,
         impl: str = "auto",
         context_kv=None,
+        null_rows: int = 0,
     ) -> Array:
+        """`null_rows` (static): the LAST `null_rows` batch rows have a fully
+        masked context (the CFG null half of a doubled batch). Their
+        cross-attention output is the per-layer constant `Attention.null_out`
+        — see there — so attention (and its q/out projections) runs only on
+        the leading rows; the null rows just add the constant. Bit-exact vs
+        running the masked attention (tests/test_null_fold.py)."""
+        nr = int(null_rows)
         for i, (attn, cross_attn, ff) in enumerate(self.layers):
             kv_i = context_kv[i] if context_kv is not None else None
 
             def layer(x, context, context_mask, kv_i, attn=attn, cross_attn=cross_attn, ff=ff):
                 x = attn(x, impl=impl) + x
-                x = cross_attn(
-                    x, context=context, context_mask=context_mask, impl=impl,
-                    cached_kv=kv_i,
-                ) + x
+                if nr:
+                    b = x.shape[0] - nr
+                    xc = cross_attn(
+                        x[:b],
+                        context=context[:b] if context is not None else None,
+                        context_mask=(
+                            context_mask[:b] if context_mask is not None else None
+                        ),
+                        impl=impl,
+                        cached_kv=(
+                            (kv_i[0][:b], kv_i[1][:b]) if kv_i is not None else None
+                        ),
+                    ) + x[:b]
+                    xn = x[b:] + cross_attn.null_out().astype(x.dtype)
+                    x = jnp.concatenate([xc, xn], axis=0)
+                else:
+                    x = cross_attn(
+                        x, context=context, context_mask=context_mask, impl=impl,
+                        cached_kv=kv_i,
+                    ) + x
                 return ff(x) + x
 
             if self.remat:
@@ -515,6 +557,7 @@ class Transformer(nnx.Module):
         pos_grid: Optional[tuple] = None,
         cfg_fold: bool = True,
         return_embed_only: bool = False,
+        null_fold: bool = True,
     ):
         """CFG: null + (cond - null) * cond_scale, via ONE doubled-batch
         forward instead of the reference's two sequential passes (:240-259).
@@ -554,7 +597,15 @@ class Transformer(nnx.Module):
         Muse paper §2.5) or a per-row (b,) vector (per-request guidance in a
         coalesced serving batch; requires cfg_fold) — a tracer always takes
         the doubled-batch path; the single-pass shortcut applies only to a
-        literal 1."""
+        literal 1.
+
+        `null_fold` (default True): the null half's context is FULLY masked
+        when there are no conditioning image tokens, so each cross-attention
+        there is exactly the per-layer constant `to_out(null_v)`
+        (`Attention.null_out`) — the null rows skip cross-attention entirely
+        (q/out projections included). Bit-exact vs null_fold=False
+        (tests/test_null_fold.py); no-op when conditioning tokens are present
+        (those stay attendable in the null half)."""
         if isinstance(cond_scale, (int, float)) and cond_scale == 1:
             if return_embed_only:
                 _, embed = self(
@@ -602,6 +653,7 @@ class Transformer(nnx.Module):
             context_kv=context_kv,
             pos_grid=pos_grid,
             skip_head=fold,
+            null_rows=b if (null_fold and not exists(conditioning_token_ids)) else 0,
         )
         if return_embed_only:
             return embed2[:b]
@@ -631,6 +683,7 @@ class Transformer(nnx.Module):
         pos_grid: Optional[tuple] = None,
         cfg_fold: bool = True,
         return_embed_only: bool = False,
+        null_fold: bool = True,
     ):
         """Negative prompting: neg + (pos - neg) * cond_scale. (The reference
         version raises at runtime — B1; built working here.)
@@ -642,7 +695,13 @@ class Transformer(nnx.Module):
         batch — pos rows' context then neg rows' context, both padded to the
         same text length (`precompute_context_kv_neg` builds exactly this).
         Unlike the cond-scale wrapper the two halves have different context
-        VALUES here, so the cache carries both."""
+        VALUES here, so the cache carries both.
+
+        `null_fold` is accepted for call-site symmetry with
+        `forward_with_cond_scale` but has no effect: the "null" half attends
+        a REAL negative-text context, so its cross-attention is not a
+        constant."""
+        del null_fold
         b = x.shape[0]
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
@@ -701,8 +760,14 @@ class Transformer(nnx.Module):
         context_kv=None,
         pos_grid: Optional[tuple] = None,
         skip_head: bool = False,
+        null_rows: int = 0,
     ):
         b, n = x.shape
+        # null_rows: trailing rows whose context is fully masked (the CFG
+        # null half) — only valid when no conditioning tokens join the
+        # context (those stay attendable in the null half, reference
+        # :308-318, so the cross-attention there is NOT a constant)
+        assert null_rows == 0 or not exists(conditioning_token_ids)
 
         assert exists(texts) ^ exists(text_embeds)
         if exists(texts):
@@ -755,7 +820,7 @@ class Transformer(nnx.Module):
 
         embed = self.transformer_blocks(
             h, context=context, context_mask=context_mask, impl=attn_impl,
-            context_kv=context_kv,
+            context_kv=context_kv, null_rows=null_rows,
         )
 
         # logits stay in the compute dtype: at vocab 65536 the CFG-doubled
