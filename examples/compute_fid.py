@@ -14,12 +14,18 @@ Usage:
   python examples/compute_fid.py --real /path/real --save-stats coco.npz
   python examples/compute_fid.py --stats coco.npz --fake /path/fake
 
-Extractors: `--extractor inception` (default) uses the STANDARD FID tower —
-torchvision-layout InceptionV3 pool3 features (models/inception.py) with the
-pytorch-fid input convention — so with converted pretrained weights
-(`--weights`, from examples/fetch_and_convert.py on a connected machine) the
-scores are comparable to published numbers. `--extractor vgg` uses the
-in-framework VGG16 fc2 features (the GAN's perceptual tower).
+Extractors: `--extractor inception` (default) uses the standard FID tower
+shape — torchvision-layout InceptionV3 pool3 features (models/inception.py)
+with the pytorch-fid input convention — so with converted torchvision
+weights (`--weights`, from examples/fetch_and_convert.py on a connected
+machine) the scores are comparable to other torchvision-weight FID
+implementations. NOTE on cross-paper comparisons: most published FIDs use
+pytorch-fid's TF-ported `pt_inception-2015-12-05` checkpoint, whose weights
+and pooling details differ from torchvision's ImageNet inception_v3 —
+FID values from the two towers differ systematically, so compare against a
+reference set re-measured with THIS tower rather than against a paper's
+printed number. `--extractor vgg` uses the in-framework VGG16 fc2 features
+(the GAN's perceptual tower).
 
 Pretrained-weights caveat (docs/API_PARITY.md): with no egress and no
 --weights the extractor is random-init — still a valid (self-consistent)
@@ -59,8 +65,10 @@ def main():
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--extractor", choices=("inception", "vgg"), default="inception",
-                   help="inception = standard FID pool3 tower (paper-comparable "
-                   "with converted weights); vgg = in-framework perceptual tower")
+                   help="inception = standard FID pool3 tower (with converted "
+                   "weights, comparable across torchvision-weight FID impls; "
+                   "see module docstring for the pytorch-fid cross-paper "
+                   "caveat); vgg = in-framework perceptual tower")
     p.add_argument("--weights", default=None,
                    help="converted extractor checkpoint (msgpack, via "
                    "utils/checkpoint.save_module after utils/convert.py)")

@@ -45,9 +45,9 @@ def main():
     p.add_argument(
         "--warmup-surfaces", default="generate",
         help="comma list of serving programs to compile at boot: any of "
-        "generate,dynamic_scale,edit — or 'all'. Every surface the "
-        "deployment enables should be here, or its FIRST live request eats "
-        "the cold compile (GeneratePipeline.warmup)",
+        "generate,dynamic_scale,edit,edit_dynamic_scale — or 'all'. Every "
+        "surface the deployment enables should be here, or its FIRST live "
+        "request eats the cold compile (GeneratePipeline.warmup)",
     )
     p.add_argument(
         "--image-size", default=None, metavar="N|HxW",

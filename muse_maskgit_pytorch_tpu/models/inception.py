@@ -3,12 +3,18 @@
 The reference repo has no evaluation metrics at all (SURVEY.md §5); this
 framework's streaming FID (`utils/eval.py`) previously offered only the
 in-framework VGG16 tower, whose scores order models but match no published
-number. This module is the torchvision `inception_v3` architecture (the one
-every FID paper number is computed with, via its 2048-d global-average-pool
-"pool3" features), NHWC and inference-only, with a torchvision-layout weight
-converter in `utils/convert.py::load_torchvision_inception_v3` — one weight
-file obtained on a connected machine makes scores comparable to the
-literature (`examples/fetch_and_convert.py`).
+number. This module is the torchvision `inception_v3` architecture (2048-d
+global-average-pool "pool3" features), NHWC and inference-only, with a
+torchvision-layout weight converter in
+`utils/convert.py::load_torchvision_inception_v3` — one weight file obtained
+on a connected machine (`examples/fetch_and_convert.py`) makes scores
+comparable to other torchvision-weight FID implementations. Caveat for
+cross-PAPER comparisons: most published FIDs use pytorch-fid's TF-ported
+`pt_inception-2015-12-05` checkpoint, whose weights and pooling details
+(count_include_pad=False avg pools) differ from torchvision's ImageNet
+inception_v3 — the two towers give systematically different FID values, so
+re-measure the reference set with THIS tower instead of quoting printed
+numbers.
 
 Structure mirrors torchvision exactly (same attribute names, so the
 converter can walk the module tree against the state_dict): a `BasicConv2d`

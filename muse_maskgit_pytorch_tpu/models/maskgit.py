@@ -208,8 +208,11 @@ class MaskGit(nnx.Module):
         `null_fold` (default True): the CFG null half's cross-attention is
         exactly a per-layer constant when no conditioning image tokens are
         attendable (`Attention.null_out`), so the null rows skip
-        cross-attention entirely. Bit-exact tokens vs null_fold=False
-        (tests/test_null_fold.py); no-op on super-res stages (conditioning
+        cross-attention entirely. The null rows' constant is exact; the cond
+        half's attention runs at batch b instead of 2b, so logits differ
+        from null_fold=False at float-reassociation level and tokens may
+        flip on argmax near-ties (agreement >= 0.99 pinned,
+        tests/test_null_fold.py). No-op on super-res stages (conditioning
         tokens stay attendable in the null half) and under negative prompts
         (the neg half attends real context).
 
@@ -598,6 +601,17 @@ class MaskGit(nnx.Module):
         # same auto-resize contract as training, reference :649-650); a
         # non-native source keeps its aspect ratio through the cond stage
         if self.resize_image_for_cond_image and "cond_images" not in generate_kwargs:
+            # the aspect-preserving auto-resize scales the SOURCE down by the
+            # model's native ratio, which must be integral — a non-multiple
+            # pair (e.g. 512 cond 384) would floor to ratio 1 and condition
+            # at the wrong grid (training's auto-resize targets the exact
+            # cond_image_size instead, __call__ below)
+            assert self.image_size % self.cond_image_size == 0, (
+                f"edit()'s auto-resize derives the cond size from the model's "
+                f"image_size/cond_image_size ratio, which must be integral "
+                f"(got {self.image_size}/{self.cond_image_size}); pass "
+                "cond_images explicitly for non-multiple pairs"
+            )
             ratio = self.image_size // self.cond_image_size
             assert H % ratio == 0 and W % ratio == 0, (
                 f"source {H}x{W} must be divisible by the cascade's "

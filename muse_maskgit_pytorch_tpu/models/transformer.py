@@ -603,7 +603,9 @@ class Transformer(nnx.Module):
         when there are no conditioning image tokens, so each cross-attention
         there is exactly the per-layer constant `to_out(null_v)`
         (`Attention.null_out`) — the null rows skip cross-attention entirely
-        (q/out projections included). Bit-exact vs null_fold=False
+        (q/out projections included). The null rows' constant is exact; the
+        cond half's attention runs at batch b instead of 2b, so outputs vs
+        null_fold=False agree to float-reassociation tolerance
         (tests/test_null_fold.py); no-op when conditioning tokens are present
         (those stay attendable in the null half)."""
         if isinstance(cond_scale, (int, float)) and cond_scale == 1:
@@ -890,20 +892,51 @@ class SelfCritic(nnx.Module):
         self.net = net
         self.to_pred = nnx.Linear(net.dim, 1, rngs=rngs)
 
-    # the critic reads EMBEDDINGS only — return_embed_only / skip_head skip
-    # the generator's vocab-65537 head matmul entirely (it was computed and
-    # discarded before; at b32/seq256 that is the decode loop's single
-    # biggest matmul, once per critic call per step)
+    # the critic reads the COND half's EMBEDDINGS only (matching the
+    # reference, which returns the cond pass's embed from
+    # forward_with_cond_scale, :240-259): cond_scale never reaches the
+    # score, and the cond rows mix with no other batch row — so the CFG
+    # wrappers here run ONE single-batch forward with skip_head instead of
+    # the doubled-batch CFG forward. vs the naive path this skips the
+    # generator's vocab-65537 head matmul AND the entire null-half trunk
+    # (self-attn + FF on b rows per decode step), mathematically identical
+    # (pinned in tests/test_cfg_fold.py).
+
+    @staticmethod
+    def _cond_half_ctx_kv(ctx_kv, b: int):
+        """Slice a (possibly CFG-doubled) per-layer K/V cache down to the
+        cond rows. No-op for a single-batch cache (k.shape[0] == b)."""
+        if ctx_kv is None:
+            return None
+        return [(k[:b], v[:b]) for (k, v) in ctx_kv]
 
     def forward_with_cond_scale(self, x, **kwargs):
-        kwargs.pop("return_embed", None)
-        embeds = self.net.forward_with_cond_scale(x, return_embed_only=True, **kwargs)
+        for drop in (
+            "return_embed", "return_embed_only", "return_raw_double",
+            "cond_scale", "cfg_fold", "null_fold",
+        ):
+            kwargs.pop(drop, None)
+        kwargs["context_kv"] = self._cond_half_ctx_kv(
+            kwargs.get("context_kv"), x.shape[0]
+        )
+        _, embeds = self.net(x, skip_head=True, **kwargs)
         return self.to_pred(embeds)
 
-    def forward_with_neg_prompt(self, x, **kwargs):
-        kwargs.pop("return_embed", None)
-        embeds = self.net.forward_with_neg_prompt(x, return_embed_only=True, **kwargs)
-        return self.to_pred(embeds)
+    def forward_with_neg_prompt(
+        self, x, *, text_embeds, neg_text_embeds, text_mask=None,
+        neg_text_mask=None, **kwargs
+    ):
+        # pos half only — but pad the pos text to the shared length the
+        # doubled pos+neg ctx cache was built over (precompute_context_kv_neg)
+        if text_mask is None:
+            text_mask = jnp.any(text_embeds != 0, axis=-1)
+        if neg_text_mask is None:
+            neg_text_mask = jnp.any(neg_text_embeds != 0, axis=-1)
+        L = max(text_embeds.shape[1], neg_text_embeds.shape[1])
+        text_embeds, text_mask = _pad_text_to(text_embeds, text_mask, L)
+        return self.forward_with_cond_scale(
+            x, text_embeds=text_embeds, text_mask=text_mask, **kwargs
+        )
 
     def __call__(self, x, labels: Optional[Array] = None, **kwargs):
         kwargs.pop("return_embed", None)

@@ -266,18 +266,21 @@ class GeneratePipeline:
 
     # -- public ----------------------------------------------------------------
 
-    WARMUP_SURFACES = ("generate", "dynamic_scale", "edit")
+    WARMUP_SURFACES = ("generate", "dynamic_scale", "edit", "edit_dynamic_scale")
 
     def warmup(self, surfaces: Union[str, Sequence[str]] = ("generate",)) -> float:
         """Compile the configured serving surfaces at boot; returns total
         compile wall-clock (per-surface times land in
         `stats["warmup_seconds"]`, warmed surfaces in `warm_surfaces`).
 
-        `surfaces`: iterable of {"generate", "dynamic_scale", "edit"} or
-        "all". "generate" is the pipeline's static-guidance program (and
-        covers re-ranking when `rerank_candidates > 1` — same program);
-        "dynamic_scale" is the per-request-guidance program
-        (`__call__(..., cond_scale=...)`); "edit" is the inpainting program.
+        `surfaces`: iterable of {"generate", "dynamic_scale", "edit",
+        "edit_dynamic_scale"} or "all". "generate" is the pipeline's
+        static-guidance program (and covers re-ranking when
+        `rerank_candidates > 1` — same program); "dynamic_scale" is the
+        per-request-guidance program (`__call__(..., cond_scale=...)`);
+        "edit" is the inpainting program; "edit_dynamic_scale" is the
+        per-request-guidance EDIT program (`edit(..., cond_scale=...)` —
+        a different compiled program from the static edit).
         A surface not warmed here compiles on its FIRST live request —
         minutes of cold compile mid-traffic on a remote accelerator
         (BASELINE.md "serving cold start"), so warm every surface the
@@ -302,7 +305,7 @@ class GeneratePipeline:
                     embeds, mask,
                     self._scale_vector([self.cond_scale] * self.batch_size),
                 )
-            else:  # edit
+            else:  # edit / edit_dynamic_scale
                 size = self.image_size
                 img_j = jnp.zeros((self.batch_size, size, size, 3), jnp.float32)
                 # all-False mask: zero editable positions — the decode passes
@@ -310,17 +313,22 @@ class GeneratePipeline:
                 # (shapes and structure identical to a live request)
                 mask_j = jnp.zeros((self.batch_size, size, size), jnp.bool_)
                 embeds, tmask = self._encode_prompts([""] * self.batch_size)
+                scale = (
+                    self._scale_vector([self.cond_scale] * self.batch_size)
+                    if s == "edit_dynamic_scale"
+                    else None
+                )
                 if self.mesh is not None:
                     img_j, mask_j, embeds, tmask = shard_batch(
                         (img_j, mask_j, embeds, tmask), self.mesh, self._data_axis
                     )
                     with self.mesh:
                         out = self._edit_batch(
-                            img_j, mask_j, embeds, tmask, self._next_key()
+                            img_j, mask_j, embeds, tmask, self._next_key(), scale
                         )
                 else:
                     out = self._edit_batch(
-                        img_j, mask_j, embeds, tmask, self._next_key()
+                        img_j, mask_j, embeds, tmask, self._next_key(), scale
                     )
             jax.block_until_ready(out)
             _ = float(out.sum())  # full barrier on lazy runtimes
@@ -460,7 +468,9 @@ class GeneratePipeline:
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1
-            self.warm_surfaces.add("edit")
+            self.warm_surfaces.add(
+                "edit" if chunk_scale is None else "edit_dynamic_scale"
+            )
             outputs.append(imgs_np[: len(chunk)])
 
         out = np.concatenate(outputs, axis=0)

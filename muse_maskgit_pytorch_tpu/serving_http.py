@@ -102,6 +102,12 @@ class DynamicBatcher:
         ONE batch — the pipeline passes a per-row scale vector."""
         if cond_scales is None:
             cond_scales = [None] * len(prompts)
+        # zip would silently TRUNCATE on a length mismatch — a caller passing
+        # one scale for three prompts would lose two requests with no error
+        assert len(cond_scales) == len(prompts), (
+            f"cond_scales has {len(cond_scales)} entries for "
+            f"{len(prompts)} prompts"
+        )
         pendings = [
             _Pending(p, cond_scale=s) for p, s in zip(prompts, cond_scales)
         ]
@@ -112,6 +118,11 @@ class DynamicBatcher:
     def submit_edit(self, prompts, sources, masks, cond_scales=None) -> List[_Pending]:
         if cond_scales is None:
             cond_scales = [None] * len(prompts)
+        assert len(sources) == len(masks) == len(cond_scales) == len(prompts), (
+            f"submit_edit got {len(prompts)} prompts but {len(sources)} "
+            f"sources / {len(masks)} masks / {len(cond_scales)} cond_scales "
+            "(zip would silently drop the excess)"
+        )
         pendings = [
             _Pending(p, source=s, mask=m, cond_scale=c)
             for p, s, m, c in zip(prompts, sources, masks, cond_scales)

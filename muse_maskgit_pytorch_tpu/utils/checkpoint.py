@@ -46,18 +46,38 @@ def _unstr_keys(tree):
     return tree
 
 
+def _leaf_to_host(x):
+    """Device leaf -> host numpy. A multi-process sharded/replicated leaf
+    spans non-addressable devices, where `np.asarray` raises — gather the
+    GLOBAL value instead. The gather is a COLLECTIVE: every process must
+    reach it in the same order (so `module_state_bytes` runs on all
+    processes; only the file write is rank-gated)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def module_state_bytes(module: nnx.Module, exclude: Sequence[str] = ()) -> bytes:
     state = nnx.state(module)
     pure = state.to_pure_dict()
     pure = _filter_pure_dict(pure, exclude)
-    pure = jax.tree.map(np.asarray, pure)
+    pure = jax.tree.map(_leaf_to_host, pure)
     return ser.msgpack_serialize(_str_keys(pure))
 
 
 def save_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(module_state_bytes(module, exclude))
+    # all processes serialize (the state gather above is collective);
+    # rank 0 writes — concurrent writers on a shared filesystem would race
+    # on the same path
+    data = module_state_bytes(module, exclude)
+    from muse_maskgit_pytorch_tpu.parallel.mesh import is_main_process
+
+    if is_main_process():
+        path.write_bytes(data)
 
 
 def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:

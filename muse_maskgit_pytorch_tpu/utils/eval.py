@@ -168,8 +168,10 @@ def make_inception_extractor(
     FID tower. Follows the pytorch-fid convention: bilinear resize to
     299x299 (`resize_to=None` skips it) and rescale to [-1, 1] before the
     network. Pass an `InceptionV3` loaded via
-    `utils.convert.load_torchvision_inception_v3` for literature-comparable
-    scores; the default random init only orders models."""
+    `utils.convert.load_torchvision_inception_v3` for scores comparable
+    across torchvision-weight FID implementations (published FIDs mostly use
+    pytorch-fid's TF-ported checkpoint, which differs systematically — see
+    models/inception.py); the default random init only orders models."""
     import jax
     import jax.numpy as jnp
     from flax import nnx

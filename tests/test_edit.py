@@ -136,6 +136,32 @@ def test_superres_edit_auto_cond(rng):
     assert (out[keep] == src[keep]).all()
 
 
+def test_edit_non_integral_cond_ratio_errors(rng):
+    """A non-multiple image/cond size pair must error loudly instead of
+    silently flooring edit()'s auto-resize ratio to 1 (which would condition
+    at the wrong grid; training's auto-resize targets the exact cond size).
+    Explicit cond_images keep working for such pairs."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from tests.test_maskgit import tiny_transformer, tiny_vae
+
+    mg = MaskGit(
+        image_size=24, cond_image_size=16,
+        transformer=tiny_transformer(36, seed=1),
+        vae=tiny_vae(), cond_vae=tiny_vae(1),
+    )
+    images = jax.random.uniform(rng, (1, 24, 24, 3))
+    mask = np.ones((1, 6, 6), bool)
+    te = text_embeds_for(1, rng)
+    with pytest.raises(AssertionError, match="integral"):
+        mg.edit(images, mask, text_embeds=te, rng=rng, timesteps=2, return_ids=True)
+    cond = jax.random.uniform(rng, (1, 16, 16, 3))
+    out = mg.edit(
+        images, mask, text_embeds=te, rng=rng, timesteps=2, return_ids=True,
+        cond_images=cond,
+    )
+    assert out.shape[0] == 1
+
+
 def test_muse_cascade_edit(rng):
     muse = Muse(base_maskgit(), superres_maskgit())
     images = jax.random.uniform(rng, (2, 32, 32, 3))

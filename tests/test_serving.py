@@ -383,9 +383,11 @@ def test_pipeline_warmup_surfaces():
         _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
         compile_cache=False, seed=3,
     )
-    total = pipe.warmup(("generate", "dynamic_scale", "edit"))
+    total = pipe.warmup("all")
     assert total > 0
-    assert pipe.warm_surfaces == {"generate", "dynamic_scale", "edit"}
+    assert pipe.warm_surfaces == {
+        "generate", "dynamic_scale", "edit", "edit_dynamic_scale"
+    }
     assert set(pipe.stats["warmup_seconds"]) == pipe.warm_surfaces
 
     n0 = _generate_jit._cache_size()
@@ -395,6 +397,9 @@ def test_pipeline_warmup_surfaces():
     msk = np.zeros((2, 16, 16), bool)
     msk[:, 4:8, 4:8] = True
     pipe.edit(img, msk, ["a", "b"])  # edit program
+    # per-request-guidance edit is a DIFFERENT compiled program — the
+    # edit_dynamic_scale surface must have prewarmed it too
+    pipe.edit(img, msk, ["a", "b"], cond_scale=[1.5, 4.0])
     assert _generate_jit._cache_size() == n0, "a live request recompiled"
 
 

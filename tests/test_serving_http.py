@@ -171,6 +171,17 @@ def test_batcher_propagates_worker_errors():
         b.stop()
 
 
+def test_submit_length_mismatch_errors():
+    """zip() would silently truncate a cond_scales/prompts mismatch —
+    programmatic callers must get a loud error, not dropped requests."""
+    b = DynamicBatcher(object(), max_wait_ms=1.0)
+    with pytest.raises(AssertionError, match="cond_scales"):
+        b.submit(["a", "b", "c"], cond_scales=[2.0])
+    with pytest.raises(AssertionError, match="prompts but"):
+        b.submit_edit(["a", "b"], sources=[0], masks=[0, 1])
+    assert b._queues["generate"].empty() and b._queues["edit"].empty()
+
+
 def test_edit_wrong_size_rejected_before_batching(server):
     """A wrong-size edit payload must 400 at the handler, NOT enter the
     batch and poison coalesced companion requests with a 500."""
