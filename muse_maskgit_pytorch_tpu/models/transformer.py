@@ -137,7 +137,9 @@ class Attention(nnx.Module):
         doubled-batch forward therefore needs no cross-attention at all
         (`TransformerBlocks(null_rows=...)`): per decode step this removes
         the q/out projections and the attention itself for half the trunk's
-        rows. Bit-exact vs the masked attention (tests/test_null_fold.py)."""
+        rows. Exact for the null rows themselves (same constant either way);
+        the cond half agrees to float tolerance since its attention runs at
+        batch b instead of 2b (tests/test_null_fold.py)."""
         nv = self.null_kv[...][1]  # (heads, 1, dim_head)
         v = nv.reshape(1, 1, self.heads * self.dim_head)
         return self.to_out(v.astype(self.dtype))
@@ -287,8 +289,9 @@ class TransformerBlocks(nnx.Module):
         masked context (the CFG null half of a doubled batch). Their
         cross-attention output is the per-layer constant `Attention.null_out`
         — see there — so attention (and its q/out projections) runs only on
-        the leading rows; the null rows just add the constant. Bit-exact vs
-        running the masked attention (tests/test_null_fold.py)."""
+        the leading rows; the null rows just add the constant. Exact for the
+        null rows; the leading rows agree to float-reassociation tolerance
+        (batch-b vs batch-2b tiling; tests/test_null_fold.py)."""
         nr = int(null_rows)
         for i, (attn, cross_attn, ff) in enumerate(self.layers):
             kv_i = context_kv[i] if context_kv is not None else None
@@ -927,11 +930,12 @@ class SelfCritic(nnx.Module):
         neg_text_mask=None, **kwargs
     ):
         # pos half only — but pad the pos text to the shared length the
-        # doubled pos+neg ctx cache was built over (precompute_context_kv_neg)
+        # doubled pos+neg ctx cache was built over (precompute_context_kv_neg).
+        # neg_text_mask is accepted only to swallow the partial's kwarg; the
+        # critic never attends the negative context.
+        del neg_text_mask
         if text_mask is None:
             text_mask = jnp.any(text_embeds != 0, axis=-1)
-        if neg_text_mask is None:
-            neg_text_mask = jnp.any(neg_text_embeds != 0, axis=-1)
         L = max(text_embeds.shape[1], neg_text_embeds.shape[1])
         text_embeds, text_mask = _pad_text_to(text_embeds, text_mask, L)
         return self.forward_with_cond_scale(

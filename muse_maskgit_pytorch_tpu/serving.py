@@ -215,17 +215,48 @@ class GeneratePipeline:
             self._neg_embeds_cache = embeds
         return self._neg_embeds_cache
 
-    def _generate_batch(self, embeds, mask, cond_scale=None):
+    def _encode_neg_rows(self, negs: Sequence[Optional[str]]):
+        """PER-ROW negative prompts -> one (batch, text_len, dim) array.
+
+        Rows with a string are T5-encoded; `None` rows fall back to the
+        pipeline's `negative_prompt`, and rows with no negative at all get
+        ALL-ZERO embeddings — the model derives that row's neg mask as
+        fully-False, so its "neg" half attends a fully masked context, which
+        is EXACTLY the standard CFG null (softmax one-hot on the null KV).
+        A mixed batch therefore coalesces into ONE compiled neg program with
+        no-neg rows reproducing plain cond-scale guidance token-exactly
+        (tests/test_serving_http.py)."""
+        assert len(negs) == self.batch_size
+        effective = [
+            n if n is not None else self.negative_prompt for n in negs
+        ]
+        has_neg = np.asarray([n is not None for n in effective], bool)
+        embeds, _ = self._encode_prompts(
+            [n if n is not None else "" for n in effective]
+        )
+        # zero the no-neg rows: encoding "" still emits an EOS embedding,
+        # which would otherwise read as a real (empty) negative prompt
+        embeds = embeds * jnp.asarray(has_neg, embeds.dtype)[:, None, None]
+        return embeds
+
+    def _generate_batch(self, embeds, mask, cond_scale=None, neg_embeds=None):
         if self.mesh is not None:
             embeds, mask = shard_batch((embeds, mask), self.mesh, self._data_axis)
+            if neg_embeds is not None:
+                neg_embeds = shard_batch(neg_embeds, self.mesh, self._data_axis)
             with self.mesh:
-                return self._generate_batch_inner(embeds, mask, cond_scale)
-        return self._generate_batch_inner(embeds, mask, cond_scale)
+                return self._generate_batch_inner(
+                    embeds, mask, cond_scale, neg_embeds
+                )
+        return self._generate_batch_inner(embeds, mask, cond_scale, neg_embeds)
 
-    def _base_generate(self, base, embeds, mask, key, cond_scale=None):
+    def _base_generate(self, base, embeds, mask, key, cond_scale=None,
+                       neg_embeds=None):
         """Base-stage generate, re-ranked when the pipeline asks for it."""
         common = dict(
-            neg_text_embeds=self._neg_embeds(),
+            neg_text_embeds=(
+                self._neg_embeds() if neg_embeds is None else neg_embeds
+            ),
             timesteps=self.timesteps,
             cond_scale=self.cond_scale if cond_scale is None else cond_scale,
             temperature=self.temperature,
@@ -240,23 +271,26 @@ class GeneratePipeline:
             )
         return base.generate(text_embeds=embeds, text_mask=mask, rng=key, **common)
 
-    def _generate_batch_inner(self, embeds, mask, cond_scale=None):
+    def _generate_batch_inner(self, embeds, mask, cond_scale=None, neg_embeds=None):
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
             low = self._base_generate(
-                self.model.base_maskgit, embeds, mask, k1, cond_scale
+                self.model.base_maskgit, embeds, mask, k1, cond_scale, neg_embeds
             )
             low = jnp.clip(low, 0.0, 1.0)
             return self.model.superres_maskgit.generate(
                 text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
-                neg_text_embeds=self._neg_embeds(),
+                neg_text_embeds=(
+                    self._neg_embeds() if neg_embeds is None else neg_embeds
+                ),
                 timesteps=self.timesteps,
                 cond_scale=self.cond_scale if cond_scale is None else cond_scale,
                 temperature=self.temperature,
                 image_size=self._gen_sr_size,
             )
-        return self._base_generate(self.model, embeds, mask, key, cond_scale)
+        return self._base_generate(self.model, embeds, mask, key, cond_scale,
+                                   neg_embeds)
 
     def _scale_vector(self, scales: Sequence[float]):
         """Per-row guidance as a (1, batch) traced array — ONE compiled
@@ -266,18 +300,23 @@ class GeneratePipeline:
 
     # -- public ----------------------------------------------------------------
 
-    WARMUP_SURFACES = ("generate", "dynamic_scale", "edit", "edit_dynamic_scale")
+    WARMUP_SURFACES = (
+        "generate", "dynamic_scale", "neg_dynamic", "edit", "edit_dynamic_scale",
+    )
 
     def warmup(self, surfaces: Union[str, Sequence[str]] = ("generate",)) -> float:
         """Compile the configured serving surfaces at boot; returns total
         compile wall-clock (per-surface times land in
         `stats["warmup_seconds"]`, warmed surfaces in `warm_surfaces`).
 
-        `surfaces`: iterable of {"generate", "dynamic_scale", "edit",
-        "edit_dynamic_scale"} or "all". "generate" is the pipeline's
+        `surfaces`: iterable of {"generate", "dynamic_scale", "neg_dynamic",
+        "edit", "edit_dynamic_scale"} or "all". "generate" is the pipeline's
         static-guidance program (and covers re-ranking when
         `rerank_candidates > 1` — same program); "dynamic_scale" is the
         per-request-guidance program (`__call__(..., cond_scale=...)`);
+        "neg_dynamic" is the per-request NEGATIVE-PROMPT program
+        (`__call__(..., negative_prompts=...)` — per-row neg embeddings plus
+        a per-row scale vector, one program for every neg/no-neg/scale mix);
         "edit" is the inpainting program; "edit_dynamic_scale" is the
         per-request-guidance EDIT program (`edit(..., cond_scale=...)` —
         a different compiled program from the static edit).
@@ -304,6 +343,15 @@ class GeneratePipeline:
                 out = self._generate_batch(
                     embeds, mask,
                     self._scale_vector([self.cond_scale] * self.batch_size),
+                )
+            elif s == "neg_dynamic":
+                # the per-request-neg program: per-row neg embeds (zeros =
+                # the standard null for no-neg rows) + per-row scale vector
+                embeds, mask = self._encode_prompts([""] * self.batch_size)
+                out = self._generate_batch(
+                    embeds, mask,
+                    self._scale_vector([self.cond_scale] * self.batch_size),
+                    neg_embeds=jnp.zeros_like(embeds),
                 )
             else:  # edit / edit_dynamic_scale
                 size = self.image_size
@@ -336,13 +384,23 @@ class GeneratePipeline:
             self.warm_surfaces.add(s)
         return time.perf_counter() - t_start
 
-    def __call__(self, prompts: Union[str, List[str]], cond_scale=None):
+    def __call__(self, prompts: Union[str, List[str]], cond_scale=None,
+                 negative_prompts=None):
         """`cond_scale`: optional guidance override — a scalar for the whole
         call, or a per-PROMPT sequence (len(prompts)). Either form is passed
         as a traced (1, batch) per-row vector, so every override — including
         a coalesced batch of requests each with its own scale — shares ONE
         compiled program (generate()'s dynamic per-sample path, no recompile
-        per setting); None uses the pipeline default via the static program."""
+        per setting); None uses the pipeline default via the static program.
+
+        `negative_prompts`: optional per-request negative prompting — one
+        string for the whole call, or a per-PROMPT sequence whose `None`
+        entries mean "no negative for this row" (they fall back to the
+        pipeline-level `negative_prompt`, else the standard CFG null via
+        all-zero neg embeddings — `_encode_neg_rows`). Any negative prompt
+        routes the batch through ONE compiled program ("neg_dynamic": per-row
+        neg embeds + per-row scale vector), so neg / no-neg / scale-varied
+        requests all coalesce. Costs one extra T5 forward per chunk."""
         if isinstance(prompts, str):
             prompts = [prompts]
         n = len(prompts)
@@ -354,6 +412,20 @@ class GeneratePipeline:
                 f"cond_scale must be a scalar or one value per prompt ({n}), "
                 f"got shape {scales.shape}"
             )
+        negs = None
+        if negative_prompts is not None:
+            negs = (
+                [negative_prompts] * n
+                if isinstance(negative_prompts, str)
+                else list(negative_prompts)
+            )
+            if len(negs) != n:
+                raise ValueError(
+                    f"negative_prompts must be a string or one entry (str or "
+                    f"None) per prompt ({n}), got {len(negs)}"
+                )
+            if all(e is None for e in negs):
+                negs = None  # nothing to do — keep the static program
         self.stats["requests"] += 1
 
         outputs = []
@@ -363,14 +435,23 @@ class GeneratePipeline:
             chunk_padded = chunk + [""] * pad
 
             chunk_scale = None
-            if scales is not None:
-                chunk_scale = self._scale_vector(
+            if scales is not None or negs is not None:
+                # per-request negs always ride the per-row-scale program so
+                # every neg/scale mix shares ONE compiled program
+                sc = (
                     list(scales[start : start + self.batch_size])
-                    + [self.cond_scale] * pad
+                    if scales is not None
+                    else [self.cond_scale] * len(chunk)
+                )
+                chunk_scale = self._scale_vector(sc + [self.cond_scale] * pad)
+            chunk_negs = None
+            if negs is not None:
+                chunk_negs = self._encode_neg_rows(
+                    list(negs[start : start + self.batch_size]) + [None] * pad
                 )
             embeds, mask = self._encode_prompts(chunk_padded)
             t0 = time.perf_counter()
-            imgs = self._generate_batch(embeds, mask, chunk_scale)
+            imgs = self._generate_batch(embeds, mask, chunk_scale, chunk_negs)
             # quantize to uint8 ON DEVICE before the host fetch: the f32
             # images are 4x the bytes for no benefit (PIL needs uint8), and
             # device->host bandwidth is the serving bottleneck on remote
@@ -380,7 +461,9 @@ class GeneratePipeline:
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1
             self.warm_surfaces.add(
-                "generate" if chunk_scale is None else "dynamic_scale"
+                "neg_dynamic"
+                if chunk_negs is not None
+                else ("generate" if chunk_scale is None else "dynamic_scale")
             )
             outputs.append(imgs_np[: len(chunk)])
 

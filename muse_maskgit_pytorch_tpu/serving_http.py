@@ -42,13 +42,18 @@ import numpy as np
 class _Pending:
     """One enqueued prompt (plus optional edit payload) and its result slot."""
 
-    __slots__ = ("prompt", "source", "mask", "cond_scale", "event", "image", "error")
+    __slots__ = (
+        "prompt", "source", "mask", "cond_scale", "negative_prompt",
+        "event", "image", "error",
+    )
 
-    def __init__(self, prompt: str, source=None, mask=None, cond_scale=None):
+    def __init__(self, prompt: str, source=None, mask=None, cond_scale=None,
+                 negative_prompt=None):
         self.prompt = prompt
         self.source = source  # (H, W, 3) source image for edit requests
         self.mask = mask  # (H, W) bool edit mask for edit requests
         self.cond_scale = cond_scale  # per-request guidance (None = default)
+        self.negative_prompt = negative_prompt  # per-request neg (None = default)
         self.event = threading.Event()
         self.image: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
@@ -96,20 +101,29 @@ class DynamicBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
 
-    def submit(self, prompts: List[str], cond_scales=None) -> List[_Pending]:
+    def submit(self, prompts: List[str], cond_scales=None,
+               negative_prompts=None) -> List[_Pending]:
         """`cond_scales`: optional per-prompt guidance (None entries use the
-        pipeline default). Requests with different scales still coalesce into
-        ONE batch — the pipeline passes a per-row scale vector."""
+        pipeline default). `negative_prompts`: optional per-prompt negative
+        prompts (None entries = pipeline default / no negative). Requests
+        with different scales AND different (or no) negative prompts still
+        coalesce into ONE batch — the pipeline passes a per-row scale vector
+        and per-row neg embeddings (zero rows = the standard CFG null)."""
         if cond_scales is None:
             cond_scales = [None] * len(prompts)
+        if negative_prompts is None:
+            negative_prompts = [None] * len(prompts)
         # zip would silently TRUNCATE on a length mismatch — a caller passing
-        # one scale for three prompts would lose two requests with no error
-        assert len(cond_scales) == len(prompts), (
-            f"cond_scales has {len(cond_scales)} entries for "
-            f"{len(prompts)} prompts"
-        )
+        # one scale for three prompts would lose two requests with no error.
+        # ValueError, not assert: request validation must survive python -O
+        if not (len(cond_scales) == len(negative_prompts) == len(prompts)):
+            raise ValueError(
+                f"submit got {len(prompts)} prompts but {len(cond_scales)} "
+                f"cond_scales / {len(negative_prompts)} negative_prompts"
+            )
         pendings = [
-            _Pending(p, cond_scale=s) for p, s in zip(prompts, cond_scales)
+            _Pending(p, cond_scale=s, negative_prompt=ng)
+            for p, s, ng in zip(prompts, cond_scales, negative_prompts)
         ]
         for p in pendings:
             self._queues["generate"].put(p)
@@ -118,11 +132,12 @@ class DynamicBatcher:
     def submit_edit(self, prompts, sources, masks, cond_scales=None) -> List[_Pending]:
         if cond_scales is None:
             cond_scales = [None] * len(prompts)
-        assert len(sources) == len(masks) == len(cond_scales) == len(prompts), (
-            f"submit_edit got {len(prompts)} prompts but {len(sources)} "
-            f"sources / {len(masks)} masks / {len(cond_scales)} cond_scales "
-            "(zip would silently drop the excess)"
-        )
+        if not (len(sources) == len(masks) == len(cond_scales) == len(prompts)):
+            raise ValueError(
+                f"submit_edit got {len(prompts)} prompts but {len(sources)} "
+                f"sources / {len(masks)} masks / {len(cond_scales)} "
+                "cond_scales (zip would silently drop the excess)"
+            )
         pendings = [
             _Pending(p, source=s, mask=m, cond_scale=c)
             for p, s, m, c in zip(prompts, sources, masks, cond_scales)
@@ -199,12 +214,16 @@ class DynamicBatcher:
                         **kw,
                     )
                 else:
-                    # per-request guidance: when ANY coalesced request set a
-                    # custom scale, the whole batch rides the per-row dynamic
-                    # program (one compiled program for every scale mix);
-                    # all-default batches keep the static program
+                    # per-request guidance / negative prompts: when ANY
+                    # coalesced request set a custom scale the batch rides
+                    # the per-row dynamic program; when any set a negative
+                    # prompt it rides the neg_dynamic program (per-row neg
+                    # embeds — no-neg rows get the standard null, so mixed
+                    # batches stay token-exact vs solo runs). All-default
+                    # batches keep the static program.
+                    kw = {}
                     if any(p.cond_scale is not None for p in batch):
-                        scales = [
+                        kw["cond_scale"] = [
                             (
                                 p.cond_scale
                                 if p.cond_scale is not None
@@ -212,13 +231,13 @@ class DynamicBatcher:
                             )
                             for p in batch
                         ]
-                        images = self.pipeline(
-                            [p.prompt for p in batch], cond_scale=scales
-                        )
-                    else:
-                        images = self.pipeline(
-                            [p.prompt for p in batch]
-                        )  # pipeline pads to batch_size itself
+                    if any(p.negative_prompt is not None for p in batch):
+                        kw["negative_prompts"] = [
+                            p.negative_prompt for p in batch
+                        ]
+                    images = self.pipeline(
+                        [p.prompt for p in batch], **kw
+                    )  # pipeline pads to batch_size itself
                 if self.pipeline.return_pil:
                     images = [np.asarray(im) for im in images]
                 for p, im in zip(batch, images):
@@ -272,9 +291,9 @@ class GenerateServer:
     ):
         """`warmup`: False (no boot compile), True (the "generate" surface),
         "all", or an iterable of surfaces ({"generate", "dynamic_scale",
-        "edit"}) — every surface the deployment enables should be warmed at
-        boot, or its first live request eats the cold compile
-        (GeneratePipeline.warmup)."""
+        "neg_dynamic", "edit", "edit_dynamic_scale"}) — every surface the
+        deployment enables should be warmed at boot, or its first live
+        request eats the cold compile (GeneratePipeline.warmup)."""
         self.pipeline = pipeline
         self.batcher = DynamicBatcher(pipeline, max_wait_ms=max_wait_ms)
         self.request_timeout_s = request_timeout_s
@@ -325,8 +344,11 @@ class GenerateServer:
         self._warm = True
         return images
 
-    def _generate(self, prompts: List[str], cond_scales=None) -> List[str]:
-        return self._await(self.batcher.submit(prompts, cond_scales))
+    def _generate(self, prompts: List[str], cond_scales=None,
+                  negative_prompts=None) -> List[str]:
+        return self._await(
+            self.batcher.submit(prompts, cond_scales, negative_prompts)
+        )
 
     def _edit(self, prompts: List[str], sources, masks, cond_scales=None) -> List[str]:
         return self._await(
@@ -410,7 +432,42 @@ class GenerateServer:
                             )
                             return
                         scales = [float(s) for s in scales]
+                    # optional per-request negative prompting (/generate): a
+                    # string (applies to every prompt in this request) or one
+                    # entry per prompt where null/None means "no negative for
+                    # this row"; mixed neg/no-neg requests still coalesce —
+                    # no-neg rows ride the standard CFG null (zero neg embeds)
+                    negs = req.get("negative_prompt")
+                    if negs is not None:
+                        if isinstance(negs, str):
+                            negs = [negs] * len(prompts)
+                        if not (
+                            isinstance(negs, list)
+                            and len(negs) == len(prompts)
+                            and all(
+                                n is None or isinstance(n, str) for n in negs
+                            )
+                        ):
+                            self._reply(
+                                400,
+                                {
+                                    "error": "negative_prompt must be a string "
+                                    "or one entry (string or null) per prompt"
+                                },
+                            )
+                            return
+                        if all(n is None for n in negs):
+                            negs = None
                     if self.path == "/edit":
+                        if negs is not None:
+                            self._reply(
+                                400,
+                                {
+                                    "error": "negative_prompt is not supported "
+                                    "on /edit (generate only)"
+                                },
+                            )
+                            return
                         srcs = req.get("images") or []
                         masks = req.get("masks") or []
                         if not (len(srcs) == len(masks) == len(prompts)):
@@ -452,7 +509,7 @@ class GenerateServer:
                                 return
                         images = server._edit(prompts, sources, edit_masks, scales)
                     else:
-                        images = server._generate(prompts, scales)
+                        images = server._generate(prompts, scales, negs)
                     self._reply(200, {"images": images})
                 except TimeoutError as e:
                     self._reply(503, {"error": str(e)})

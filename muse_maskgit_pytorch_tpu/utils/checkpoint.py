@@ -14,6 +14,7 @@ Two tiers, mirroring the reference's two mechanisms (SURVEY.md §5):
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 from pathlib import Path
@@ -77,7 +78,18 @@ def save_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
     from muse_maskgit_pytorch_tpu.parallel.mesh import is_main_process
 
     if is_main_process():
-        path.write_bytes(data)
+        # write-to-tmp + rename: a crash mid-write leaves the old file (or
+        # nothing) at the final path, never a truncated checkpoint; os.replace
+        # is atomic on POSIX so a concurrent load_module sees old-or-new
+        tmp = path.with_name(path.name + ".tmp")
+        tmp.write_bytes(data)
+        os.replace(tmp, path)
+    if jax.process_count() > 1:
+        # barrier: peers must not load_module(path) before rank 0's rename
+        # lands on the shared filesystem
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"save_module:{path.name}")
 
 
 def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:

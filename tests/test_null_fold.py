@@ -66,7 +66,9 @@ def test_null_fold_logits_match(rng):
 
 
 @pytest.mark.parametrize("sampler", ["xla", "fused"])
-def test_null_fold_decode_token_exact(rng, sampler):
+def test_null_fold_decode_token_agreement(rng, sampler):
+    # ">= 0.99 agreement", not exact: the cond half's attention runs at
+    # batch b instead of 2b, so float reassociation can flip rare ties
     mg = base_maskgit()
     te = text_embeds_for(2, rng)
     a = _gen_ids(mg, rng, te, cond_scale=3.0, sampler=sampler, null_fold=True)

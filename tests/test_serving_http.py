@@ -175,9 +175,10 @@ def test_submit_length_mismatch_errors():
     """zip() would silently truncate a cond_scales/prompts mismatch —
     programmatic callers must get a loud error, not dropped requests."""
     b = DynamicBatcher(object(), max_wait_ms=1.0)
-    with pytest.raises(AssertionError, match="cond_scales"):
+    # ValueError (not assert): request validation must survive python -O
+    with pytest.raises(ValueError, match="cond_scales"):
         b.submit(["a", "b", "c"], cond_scales=[2.0])
-    with pytest.raises(AssertionError, match="prompts but"):
+    with pytest.raises(ValueError, match="prompts but"):
         b.submit_edit(["a", "b"], sources=[0], masks=[0, 1])
     assert b._queues["generate"].empty() and b._queues["edit"].empty()
 
@@ -291,6 +292,103 @@ def test_per_request_guidance_token_exact_vs_direct():
     )(["a cat", "a dog"], cond_scale=[2.0, 6.0])
     np.testing.assert_array_equal(np.asarray(pendings[0].image), direct[0])
     np.testing.assert_array_equal(np.asarray(pendings[1].image), direct[1])
+
+
+def test_per_request_negative_prompts_token_exact_vs_direct():
+    """Requests with DIFFERENT negative prompts (some with none at all) plus
+    different cond_scales coalesce into ONE device batch and each row still
+    gets its own negative: the batcher's output must equal a direct pipeline
+    call with the same per-row vectors (same seed). No-neg rows ride all-zero
+    neg embeddings — the standard CFG null — inside the same compiled
+    program."""
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        compile_cache=False, seed=23,
+    )
+    batcher = DynamicBatcher(pipe, max_wait_ms=200.0)
+    batcher.start()
+    try:
+        pendings = batcher.submit(
+            ["a cat", "a dog"],
+            cond_scales=[2.0, None],
+            negative_prompts=["blurry", None],
+        )
+        for p in pendings:
+            assert p.event.wait(timeout=300)
+            assert p.error is None
+    finally:
+        batcher.stop()
+    assert batcher.stats["coalesced_batches"] >= 1
+
+    direct = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, compile_cache=False, seed=23,
+    )(
+        ["a cat", "a dog"],
+        cond_scale=[2.0, pipe.cond_scale],
+        negative_prompts=["blurry", None],
+    )
+    np.testing.assert_array_equal(np.asarray(pendings[0].image), direct[0])
+    np.testing.assert_array_equal(np.asarray(pendings[1].image), direct[1])
+
+
+def test_negative_prompt_rows_are_independent():
+    """Per-row isolation inside the neg program: changing row 0's negative
+    prompt must not perturb row 1's image at all (rows share one compiled
+    program but no data), and a real negative prompt must actually change
+    its own row's output vs no negative."""
+    pipe = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, compile_cache=False, seed=31,
+    )
+    a = pipe(["a cat", "a dog"], negative_prompts=["blurry", "low-res"])
+    pipe2 = GeneratePipeline(
+        _maskgit(), batch_size=2, timesteps=2, text_len=16,
+        return_pil=False, compile_cache=False, seed=31,
+    )
+    b = pipe2(["a cat", "a dog"], negative_prompts=[None, "low-res"])
+    np.testing.assert_array_equal(a[1], b[1])  # row 1 untouched
+    assert not np.array_equal(a[0], b[0])  # row 0's neg really applied
+
+
+def test_generate_endpoint_negative_prompt(server):
+    # scalar form applies to every prompt; list form is per-prompt with
+    # nulls meaning "no negative for this row"
+    status, out = _post(
+        server.port, {"prompts": ["a cat"], "negative_prompt": "blurry"}
+    )
+    assert status == 200 and len(out["images"]) == 1
+    status, out = _post(
+        server.port,
+        {
+            "prompts": ["a cat", "a dog"],
+            "negative_prompt": ["blurry", None],
+            "cond_scale": [1.5, 6.0],
+        },
+    )
+    assert status == 200 and len(out["images"]) == 2
+    status, health = _get(server.port, "/healthz")
+    assert "neg_dynamic" in health["warm_surfaces"]
+
+
+def test_generate_endpoint_negative_prompt_validation(server):
+    status, out = _post(
+        server.port,
+        {"prompts": ["a", "b"], "negative_prompt": ["only one"]},
+    )
+    assert status == 400 and "negative_prompt" in out["error"]
+    status, out = _post(
+        server.port, {"prompts": ["a"], "negative_prompt": 3}
+    )
+    assert status == 400
+    # /edit does not take negative prompts — reject loudly, don't drop
+    status, out = _post(
+        server.port,
+        {"prompts": ["a"], "images": [], "masks": [],
+         "negative_prompt": "x"},
+        path="/edit",
+    )
+    assert status == 400
 
 
 def test_generate_endpoint_cond_scale(server):
