@@ -12,7 +12,13 @@ On the CONNECTED machine:
   python examples/fetch_and_convert.py --out /weights \
       --t5 google/t5-v1_1-base --vgg --inception
 
-Then ship /weights to the serving/training host and load:
+Every write is recorded in /weights/manifest.json (sha256 + size + per-leaf
+shapes). Ship /weights to the serving/training host, then ON THE TARGET:
+  python examples/fetch_and_convert.py --out /weights --verify
+which fails loudly on any truncated/corrupt/swapped file; `load_module` also
+re-verifies automatically whenever a manifest.json sits next to the file.
+
+Then load:
   from muse_maskgit_pytorch_tpu.models.t5 import T5Encoder, get_config, set_model
   from muse_maskgit_pytorch_tpu.utils.checkpoint import load_module
   enc = T5Encoder(get_config(name), rngs=nnx.Rngs(0))
@@ -40,19 +46,26 @@ import numpy as np
 
 
 def _save_and_verify(module, build_fresh, path):
-    """Write the checkpoint, reload into a fresh module, and spot-check a
-    parameter actually moved (catches silent layout mismatches)."""
-    from flax import nnx
-
-    from muse_maskgit_pytorch_tpu.utils.checkpoint import load_module, save_module
+    """Write the checkpoint, record it in the out dir's manifest.json
+    (sha256 + size + per-leaf shapes — the verification that travels to the
+    zero-egress host), then reload into a fresh module THROUGH the manifest
+    check and spot-check the values round-tripped (catches silent layout
+    mismatches and exercises the exact load path the target host runs)."""
+    from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+        load_module,
+        manifest_entry,
+        save_module,
+        write_manifest,
+    )
 
     save_module(module, path)
+    write_manifest(path.parent, {path.name: manifest_entry(path, module)})
     fresh = build_fresh()
-    load_module(fresh, path)
+    load_module(fresh, path)  # verifies against the manifest just written
     src = jax_leaves_checksum(module)
     dst = jax_leaves_checksum(fresh)
     assert np.allclose(src, dst), f"reload mismatch for {path}"
-    print(f"  wrote + verified {path}")
+    print(f"  wrote + verified {path} (manifest entry recorded)")
 
 
 def jax_leaves_checksum(module):
@@ -98,8 +111,17 @@ def fetch_t5(name: str, out: Path, dry_run: bool):
             import transformers
 
             tok = transformers.AutoTokenizer.from_pretrained(name)
-            tok.save_pretrained(out / f"tokenizer-{slug}")
-            print(f"  saved tokenizer -> {out / f'tokenizer-{slug}'}")
+            tdir = out / f"tokenizer-{slug}"
+            tok.save_pretrained(tdir)
+            from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+                manifest_entry, write_manifest,
+            )
+
+            write_manifest(out, {
+                f"tokenizer-{slug}/{p.name}": manifest_entry(p)
+                for p in sorted(tdir.iterdir()) if p.is_file()
+            })
+            print(f"  saved tokenizer -> {tdir} (manifest entries recorded)")
         except Exception as e:  # tokenizer optional; weights still useful
             print(f"  tokenizer save skipped: {e}")
     _save_and_verify(enc, build, out / f"t5-{slug}.msgpack")
@@ -181,9 +203,29 @@ def main():
     p.add_argument("--dry-run", action="store_true",
                    help="no network: exercise converters + checkpoints with "
                    "locally built random models (zero-egress CI mode)")
+    p.add_argument("--verify", action="store_true",
+                   help="verify every manifest.json entry under --out and "
+                   "exit — run this on the TARGET host after transport")
     args = p.parse_args()
 
     out = Path(args.out)
+    if args.verify:
+        import json
+
+        from muse_maskgit_pytorch_tpu.utils.checkpoint import (
+            MANIFEST_NAME, verify_manifest,
+        )
+
+        mpath = out / MANIFEST_NAME
+        if not mpath.exists():
+            raise SystemExit(f"no {MANIFEST_NAME} in {out}")
+        manifest = json.loads(mpath.read_text())
+        for name in sorted(manifest):
+            verify_manifest(out / name, mpath, require=True)
+            print(f"  ok {name}")
+        print(f"verified {len(manifest)} entries in {mpath}")
+        return
+
     out.mkdir(parents=True, exist_ok=True)
     did = False
     if args.t5:

@@ -95,6 +95,7 @@ def save_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
 def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
     path = Path(path)
     assert path.exists(), f"checkpoint not found: {path}"
+    verify_manifest(path)  # no-op when no manifest.json sits next to the file
     restored = _unstr_keys(ser.msgpack_restore(path.read_bytes()))
     state = nnx.state(module)
     pure = state.to_pure_dict()
@@ -105,6 +106,100 @@ def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
             merged[k] = v
     state.replace_by_pure_dict(merged)
     nnx.update(module, state)
+
+
+# ---------------------------------------------------------------------------
+# Checksum manifest — bring-up verification that travels with the files
+# ---------------------------------------------------------------------------
+# Pretrained-weight conversion happens on a CONNECTED machine where none of
+# this repo's tests run (`examples/fetch_and_convert.py`); the manifest is the
+# only verification that survives the transport to the zero-egress host. A
+# truncated scp / wrong file fails loudly at load time instead of producing
+# silently-wrong embeddings.
+
+MANIFEST_NAME = "manifest.json"
+
+
+def manifest_entry(path, module: Optional[nnx.Module] = None) -> dict:
+    """sha256 + byte size for a converted checkpoint file, plus per-leaf
+    shapes/dtypes when the source `module` is given (human-auditable record of
+    what the file contains)."""
+    import hashlib
+
+    data = Path(path).read_bytes()
+    entry = {"sha256": hashlib.sha256(data).hexdigest(), "bytes": len(data)}
+    if module is not None:
+        leaves = {}
+
+        def walk(tree, prefix):
+            for k, v in sorted(tree.items(), key=lambda kv: str(kv[0])):
+                p = f"{prefix}/{k}" if prefix else str(k)
+                if isinstance(v, dict):
+                    walk(v, p)
+                else:
+                    a = np.asarray(v)
+                    leaves[p] = [list(a.shape), str(a.dtype)]
+
+        walk(_str_keys(nnx.state(module).to_pure_dict()), "")
+        entry["leaves"] = leaves
+    return entry
+
+
+def write_manifest(out_dir, entries: dict) -> Path:
+    """entries: {file_name: manifest_entry(...)}. Merges into an existing
+    manifest so multi-invocation bring-ups (--t5 now, --vgg later) compose."""
+    import json
+
+    out = Path(out_dir) / MANIFEST_NAME
+    merged = {}
+    if out.exists():
+        merged = json.loads(out.read_text())
+    merged.update(entries)
+    tmp = out.with_name(out.name + ".tmp")
+    tmp.write_text(json.dumps(merged, indent=1, sort_keys=True))
+    os.replace(tmp, out)
+    return out
+
+
+def verify_manifest(path, manifest_path=None, *, require: bool = False) -> bool:
+    """Check `path` against the manifest next to it (or `manifest_path`).
+
+    Returns True when verified; False when there is no manifest or no entry
+    for this file name (unless `require=True`, which raises instead — use for
+    bring-up loads where an unverified file must not be trusted). Any
+    size/sha256 mismatch raises ValueError."""
+    import hashlib
+    import json
+
+    path = Path(path)
+    mpath = Path(manifest_path) if manifest_path else path.parent / MANIFEST_NAME
+    entry = None
+    if mpath.exists():
+        manifest = json.loads(mpath.read_text())
+        # keys are paths relative to the manifest's directory (subdir files
+        # like tokenizer-*/spiece.model) or bare file names
+        try:
+            rel = str(path.resolve().relative_to(mpath.parent.resolve()))
+        except ValueError:
+            rel = path.name
+        entry = manifest.get(rel, manifest.get(path.name))
+    if entry is None:
+        if require:
+            raise ValueError(f"no manifest entry for {path.name} in {mpath}")
+        return False
+    data = path.read_bytes()
+    if len(data) != entry["bytes"]:
+        raise ValueError(
+            f"{path.name}: size {len(data)} != manifest {entry['bytes']} "
+            "(truncated or wrong file)"
+        )
+    digest = hashlib.sha256(data).hexdigest()
+    if digest != entry["sha256"]:
+        raise ValueError(
+            f"{path.name}: sha256 {digest[:16]}... != manifest "
+            f"{entry['sha256'][:16]}... (corrupt or tampered checkpoint)"
+        )
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -54,3 +54,34 @@ def test_fetch_and_convert_dry_run(tmp_path):
     assert (tmp_path / "t5-google-t5-v1_1-base.msgpack").exists()
     assert (tmp_path / "vgg16.msgpack").exists()
     assert (tmp_path / "inception_v3.msgpack").exists()
+
+    # checksum manifest travels with the files: --verify passes on the
+    # pristine dir, fails loudly after a 1-byte tamper (the transport check
+    # the zero-egress host runs — VERDICT r4 item 7)
+    import json
+
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert set(manifest) >= {
+        "t5-google-t5-v1_1-base.msgpack", "vgg16.msgpack", "inception_v3.msgpack"
+    }
+    assert all("sha256" in e and "bytes" in e for e in manifest.values())
+    assert manifest["vgg16.msgpack"]["leaves"]  # per-leaf shapes recorded
+
+    def run_verify():
+        return subprocess.run(
+            [sys.executable, str(EXAMPLES / "fetch_and_convert.py"),
+             "--out", str(tmp_path), "--verify"],
+            capture_output=True, text=True, timeout=120,
+        )
+
+    ok = run_verify()
+    assert ok.returncode == 0 and "verified 3 entries" in ok.stdout, ok.stdout
+
+    target = tmp_path / "vgg16.msgpack"
+    blob = bytearray(target.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    target.write_bytes(bytes(blob))
+    tampered = run_verify()
+    assert tampered.returncode != 0 and "sha256" in (
+        tampered.stdout + tampered.stderr
+    ), (tampered.stdout, tampered.stderr)
