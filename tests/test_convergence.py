@@ -152,6 +152,132 @@ def test_maskgit_train_generate_quality_gate(tmp_path):
     assert guided >= plain - 0.02, (guided, plain)
 
 
+@pytest.mark.slow
+def test_token_critic_behavioral_gate(tmp_path):
+    """Behavioral gate for the token critic (VERDICT r4 item 5; reference
+    muse_maskgit_pytorch.py:723-741 trains it, :240-259 scores with it):
+    jointly train a SelfCritic on the two-class token task, then assert
+
+      (a) the TRAINED critic separates corrupted from correct tokens,
+          measured as pairwise AUC of its fake-logits at corrupted vs clean
+          positions. The strong gate is CROSS-CLASS corruption (tokens valid
+          for the OTHER prompt — wrong only GIVEN the conditioning): the
+          calibration sweep measured AUC 0.83@300 steps, 0.97@600, 1.00@1800.
+          Out-of-vocab corruption gets only a weak gate (>chance): as the
+          generator converges, OOV tokens vanish from the sampled sequences
+          the critic trains on, so their embeddings stay near-init and the
+          critic has no gradient signal for them (measured: AUC ~0.62-0.68
+          flat across 300-1800 steps);
+      (b) critic-guided decode's in-class fraction matches/beats the default
+          confidence scorer's.
+
+    tests/test_trainers.py:140 pins only that critic params MOVE; this pins
+    that the trained critic is USEFUL."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit
+    from muse_maskgit_pytorch_tpu.models.transformer import MaskGitTransformer
+    from muse_maskgit_pytorch_tpu.training.trainers import MaskGitTrainer
+
+    vocab, seq, fmap, text_dim = 32, 16, 4, 16
+    class_tokens = {0: np.arange(0, 8), 1: np.arange(16, 24)}
+    rng_np = np.random.default_rng(0)
+    class_text = rng_np.normal(size=(2, 3, text_dim)).astype(np.float32)
+
+    tr = MaskGitTransformer(
+        num_tokens=vocab, dim=32, seq_len=seq, depth=2, dim_head=16, heads=2,
+        text_embed_dim=text_dim, rngs=nnx.Rngs(0),
+    )
+    maskgit = MaskGit(
+        image_size=fmap, transformer=tr, self_token_critic=True,
+        rngs=nnx.Rngs(1),
+    )
+    trainer = MaskGitTrainer(
+        maskgit,
+        num_train_steps=700,
+        batch_size=32,
+        lr=3e-3,
+        use_ema=False,
+        save_model_every=10**9,
+        results_folder=str(tmp_path / "mg-critic"),
+        seed=0,
+    )
+
+    b = 32
+    for step in range(trainer.num_train_steps):
+        cls = rng_np.integers(0, 2, size=b)
+        ids = np.stack(
+            [rng_np.choice(class_tokens[c], size=seq) for c in cls]
+        ).astype(np.int32)
+        te = class_text[cls]
+        tm = np.ones((b, 3), bool)
+        trainer.train_step_arrays(ids[None], te[None], tm[None])
+
+    model = trainer.maskgit_module()
+
+    # ---- (a) the critic's fake-logit separates corrupted from clean -------
+    def critic_auc(make_wrong):
+        nb = 64
+        cls = rng_np.integers(0, 2, size=nb)
+        ids = np.stack(
+            [rng_np.choice(class_tokens[c], size=seq) for c in cls]
+        ).astype(np.int32)
+        corrupt = rng_np.random((nb, seq)) < 0.35
+        corrupted = np.where(corrupt, make_wrong(cls, (nb, seq)), ids)
+        logits = model.token_critic(
+            jnp.asarray(corrupted),
+            text_embeds=jnp.asarray(class_text[cls]),
+            text_mask=jnp.ones((nb, 3), bool),
+        )
+        scores = np.asarray(logits, np.float64).reshape(nb, seq)
+        pos, neg = scores[corrupt], scores[~corrupt]
+        # rank-based pairwise AUC: P(score_corrupted > score_clean)
+        from scipy.stats import rankdata
+
+        ranks = rankdata(np.concatenate([pos, neg]))
+        auc = (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
+            len(pos) * len(neg)
+        )
+        return float(auc)
+
+    # cross-class corruption — wrong ONLY given the prompt — is the signal
+    # the conditioned critic exists for (strong gate; see docstring)
+    auc_xcls = critic_auc(
+        lambda cls, shape: np.stack(
+            [rng_np.choice(class_tokens[1 - c], size=shape[1]) for c in cls]
+        )
+    )
+    assert auc_xcls > 0.9, f"critic AUC on cross-class corruption: {auc_xcls:.3f}"
+    # out-of-vocab corruption: embeddings of never-sampled tokens stay
+    # near-init (no training signal), so only gate above chance
+    auc_oov = critic_auc(lambda cls, shape: rng_np.integers(24, 32, shape))
+    assert auc_oov > 0.55, f"critic AUC on out-of-vocab corruption: {auc_oov:.3f}"
+
+    # ---- (b) critic-guided decode >= the confidence-score default ---------
+    gen_b = 16
+
+    def in_class_fraction(use_critic):
+        fracs = []
+        for c in (0, 1):
+            te = jnp.asarray(np.tile(class_text[c][None], (gen_b, 1, 1)))
+            ids = model.generate(
+                text_embeds=te,
+                text_mask=jnp.ones((gen_b, 3), bool),
+                rng=jax.random.PRNGKey(7 + c),
+                fmap_size=fmap,
+                timesteps=6,
+                cond_scale=3.0,
+                force_not_use_token_critic=not use_critic,
+                return_ids=True,
+            )
+            ids = np.asarray(ids).reshape(-1)
+            fracs.append(np.isin(ids, class_tokens[c]).mean())
+        return float(np.mean(fracs))
+
+    frac_critic = in_class_fraction(True)
+    frac_conf = in_class_fraction(False)
+    assert frac_critic > 0.9, (frac_critic, frac_conf)
+    assert frac_critic >= frac_conf - 0.03, (frac_critic, frac_conf)
+
+
 def test_lfq_entropy_gradient_diversifies():
     """Optimizing ONLY the LFQ entropy/diversity objective on collapsed
     latents must spread codebook usage (the gradient direction the reference
