@@ -29,12 +29,17 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 class ImageDataset:
     """Recursive glob of jpg/jpeg/png; transform = RGB -> resize (short side)
     -> random horizontal flip -> center crop -> float32 [0,1] NHWC.
-    (reference trainers.py:85-113)"""
+    (reference trainers.py:85-113)
+
+    `image_size` may be an int (square, the reference contract) or an
+    (H, W) tuple: the image is cover-resized (scaled so both target sides
+    are reached) then center-cropped to exactly HxW — the rectangular data
+    path for aspect-bucketed training."""
 
     def __init__(
         self,
         folder,
-        image_size: int,
+        image_size,
         exts: Sequence[str] = ("jpg", "jpeg", "png"),
         random_flip: bool = True,
         seed: int = 0,
@@ -54,16 +59,18 @@ class ImageDataset:
         if img.mode != "RGB":
             img = img.convert("RGB")
         s = self.image_size
-        # resize: short side to image_size (torchvision T.Resize(int) semantics)
+        th, tw = (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
+        # cover-resize: smallest scale that reaches BOTH target sides
+        # (square case == torchvision T.Resize(int) short-side semantics)
         w, h = img.size
-        scale = s / min(w, h)
-        img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))), Image.BILINEAR)
+        scale = max(th / h, tw / w)
+        img = img.resize((max(tw, round(w * scale)), max(th, round(h * scale))), Image.BILINEAR)
         if self.random_flip and self._rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        # center crop
+        # center crop to (th, tw)
         w, h = img.size
-        left, top = (w - s) // 2, (h - s) // 2
-        img = img.crop((left, top, left + s, top + s))
+        left, top = (w - tw) // 2, (h - th) // 2
+        img = img.crop((left, top, left + tw, top + th))
         return np.asarray(img, np.float32) / 255.0  # (h, w, 3)
 
 

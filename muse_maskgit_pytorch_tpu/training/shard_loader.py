@@ -17,6 +17,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 _MAGIC = b"MUSETOK1"
+_MAGIC_V2 = b"MUSETOK2"
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC = _REPO_ROOT / "native" / "shard_loader.cpp"
 _LIB = _REPO_ROOT / "native" / "build" / "libshard_loader.so"
@@ -65,6 +66,10 @@ def _lib() -> ctypes.CDLL:
             lib.msl_epoch.argtypes = [ctypes.c_void_p]
             lib.msl_seq_len.restype = ctypes.c_int64
             lib.msl_seq_len.argtypes = [ctypes.c_void_p]
+            lib.msl_grid_h.restype = ctypes.c_int64
+            lib.msl_grid_h.argtypes = [ctypes.c_void_p]
+            lib.msl_grid_w.restype = ctypes.c_int64
+            lib.msl_grid_w.argtypes = [ctypes.c_void_p]
             lib.msl_num_seqs.restype = ctypes.c_int64
             lib.msl_num_seqs.argtypes = [ctypes.c_void_p]
             lib.msl_batches_per_epoch.restype = ctypes.c_int64
@@ -87,19 +92,52 @@ def _lib() -> ctypes.CDLL:
     return _lib_handle
 
 
-def write_shard(path, tokens: np.ndarray, captions: Optional[Sequence[str]] = None) -> None:
+def write_shard(
+    path,
+    tokens: np.ndarray,
+    captions: Optional[Sequence[str]] = None,
+    grid: Optional[tuple] = None,
+) -> None:
     """tokens: (num_seqs, seq_len) int32 -> binary shard file. `captions`
-    (one per sequence) additionally writes the `<path>.captions` sidecar."""
+    (one per sequence) additionally writes the `<path>.captions` sidecar.
+
+    `grid=(fh, fw)`: token-grid metadata (v2 header) for aspect-bucketed
+    rectangular training — the leading fh*fw ids of each row reshape to that
+    grid (rows may carry extra trailing ids, e.g. paired super-res cond ids).
+    Without it the v1 header is written (square isqrt contract downstream)."""
     tokens = np.ascontiguousarray(tokens, np.int32)
     assert tokens.ndim == 2
+    if grid is not None:
+        fh, fw = int(grid[0]), int(grid[1])
+        if fh <= 0 or fw <= 0 or fh * fw > tokens.shape[1]:
+            raise ValueError(f"grid {grid} does not fit rows of {tokens.shape[1]} ids")
     with open(path, "wb") as f:
-        f.write(_MAGIC)
+        f.write(_MAGIC if grid is None else _MAGIC_V2)
         f.write(np.int64(tokens.shape[0]).tobytes())
         f.write(np.int64(tokens.shape[1]).tobytes())
+        if grid is not None:
+            f.write(np.int64(fh).tobytes())
+            f.write(np.int64(fw).tobytes())
         f.write(tokens.tobytes())
     if captions is not None:
         assert len(captions) == tokens.shape[0], "one caption per sequence"
         write_caption_file(caption_path_for(path), captions)
+
+
+def read_shard_header(path) -> dict:
+    """Cheap header peek (no mmap): {num_seqs, seq_len, grid} — `grid` is
+    (fh, fw) for v2 shards, None for v1. Used to group shard lists into
+    same-static-shape buckets before opening loaders."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic not in (_MAGIC, _MAGIC_V2):
+            raise ValueError(f"{path}: not a MUSETOK shard")
+        num_seqs, seq_len = np.frombuffer(f.read(16), np.int64)
+        grid = None
+        if magic == _MAGIC_V2:
+            fh, fw = np.frombuffer(f.read(16), np.int64)
+            grid = (int(fh), int(fw))
+    return {"num_seqs": int(num_seqs), "seq_len": int(seq_len), "grid": grid}
 
 
 _CAPTION_MAGIC = b"MUSECAP1"
@@ -198,6 +236,9 @@ class ShardLoader:
             raise ValueError(f"failed to open shards: {list(paths)}")
         self.batch_size = batch_size
         self.seq_len = int(self._lib.msl_seq_len(self._h))
+        gh, gw = int(self._lib.msl_grid_h(self._h)), int(self._lib.msl_grid_w(self._h))
+        #: (fh, fw) token grid from the v2 header; None for v1 shards
+        self.grid = (gh, gw) if gh > 0 else None
         self.num_seqs = int(self._lib.msl_num_seqs(self._h))
         self.batches_per_epoch = int(self._lib.msl_batches_per_epoch(self._h))
         self._buf = np.empty((batch_size, self.seq_len), np.int32)

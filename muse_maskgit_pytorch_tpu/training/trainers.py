@@ -927,42 +927,103 @@ class MaskGitTrainer:
         layout); the trailing `cond_token_len` ids of every row feed the
         cross-attention context. One loader, one shuffle stream — target
         and conditioning can never fall out of alignment.
+
+        Aspect-bucketed rectangular training: shards carrying v2 grid
+        metadata (`write_shard(..., grid=(fh, fw))`;
+        `examples/tokenize_dataset.py --image-size HxW`) train their ids as
+        (b, fh, fw) grids, so positions resize to each bucket's aspect ratio
+        exactly as rectangular sampling does. A mixed `token_paths` list is
+        grouped by (seq_len, grid) into buckets — one loader and one
+        compiled step shape per bucket — and a deterministic seeded schedule
+        picks the bucket for each optimizer step (weighted by bucket size;
+        every micro-batch of a step shares the bucket's static shape).
+        Resume replays the schedule's first `steps` draws to recover every
+        bucket's skip count, so mid-epoch resume stays exact.
         """
         from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
-        from muse_maskgit_pytorch_tpu.training.shard_loader import ShardLoader
+        from muse_maskgit_pytorch_tpu.training.shard_loader import (
+            ShardLoader,
+            read_shard_header,
+        )
 
         transformer = self.maskgit_module().transformer
         t5_name, text_dim = transformer.t5_name, transformer.text_embed_dim
-        loader = ShardLoader(
-            token_paths,
-            self.batch_size,
-            seed=loader_seed,
-            num_threads=num_threads,
-            drop_last=True,
-            process_index=process_index,
-            process_count=process_count,
-            skip_batches=self.steps * self.grad_accum_every,
-        )
-        cap_iter = loader.captioned() if use_captions else None
+
+        # ---- bucket shards by static shape (v2 grid metadata) ------------
+        by_shape: dict = {}
+        group_seqs: dict = {}
+        for p in [str(q) for q in token_paths]:
+            hdr = read_shard_header(p)
+            key = (hdr["seq_len"], hdr["grid"])
+            by_shape.setdefault(key, []).append(p)
+            group_seqs[key] = group_seqs.get(key, 0) + hdr["num_seqs"]
+        groups = sorted(by_shape.items(), key=lambda kv: (kv[0][0], kv[0][1] or (0, 0)))
+
+        # one bucket draw per optimizer step; replaying the first `steps`
+        # draws recovers each bucket's resume skip. Weights use GLOBAL
+        # sequence counts (identical on every host), so all processes agree
+        # on the schedule while each opens only its shard slice.
+        sched_rng = np.random.default_rng(loader_seed)
+        weights = np.array([group_seqs[k] for k, _ in groups], np.float64)
+        weights /= weights.sum()
+
+        def draw():
+            return 0 if len(groups) == 1 else int(sched_rng.choice(len(groups), p=weights))
+
+        skips = [0] * len(groups)
+        for _ in range(self.steps):
+            skips[draw()] += self.grad_accum_every
+
+        loaders = [
+            ShardLoader(
+                paths,
+                self.batch_size,
+                seed=loader_seed + 1000003 * gi,  # independent shuffle streams
+                num_threads=num_threads,
+                drop_last=True,
+                process_index=process_index,
+                process_count=process_count,
+                skip_batches=skips[gi],
+            )
+            for gi, (_, paths) in enumerate(groups)
+        ]
+        cap_iters = [ld.captioned() if use_captions else None for ld in loaders]
+
+        def pull(gi):
+            """One micro-batch from bucket gi: (tokens, cond, te, tm)."""
+            loader = loaders[gi]
+            if use_captions:
+                tokens, texts = next(cap_iters[gi])
+                te, tm = t5_encode_text_with_mask(texts, name=t5_name)
+                te, tm = np.asarray(te), np.asarray(tm)
+            else:
+                tokens = loader.next_batch()
+                te = np.zeros((tokens.shape[0], 1, text_dim), np.float32)
+                tm = np.zeros((tokens.shape[0], 1), bool)
+            tokens = tokens.astype(np.int32)
+            cond = None
+            if cond_token_len:
+                # paired rows: [target ids ++ cond ids]
+                cond = tokens[:, -cond_token_len:]
+                tokens = tokens[:, :-cond_token_len]
+            if loader.grid is not None:
+                fh, fw = loader.grid
+                assert fh * fw == tokens.shape[1], (
+                    f"shard grid {loader.grid} does not tile the target ids "
+                    f"({tokens.shape[1]} after cond split)"
+                )
+                tokens = tokens.reshape(tokens.shape[0], fh, fw)
+            return tokens, cond, te, tm
 
         def accum_batches():
             while True:
+                gi = draw()  # whole step in ONE bucket: one static shape
                 toks, conds, tes, tms = [], [], [], []
                 max_len = 1
                 for _ in range(self.grad_accum_every):
-                    if use_captions:
-                        tokens, texts = next(cap_iter)
-                        te, tm = t5_encode_text_with_mask(texts, name=t5_name)
-                        te, tm = np.asarray(te), np.asarray(tm)
-                    else:
-                        tokens = loader.next_batch()
-                        te = np.zeros((tokens.shape[0], 1, text_dim), np.float32)
-                        tm = np.zeros((tokens.shape[0], 1), bool)
-                    tokens = tokens.astype(np.int32)
-                    if cond_token_len:
-                        # paired rows: [target ids ++ cond ids]
-                        conds.append(tokens[:, -cond_token_len:])
-                        tokens = tokens[:, :-cond_token_len]
+                    tokens, cond, te, tm = pull(gi)
+                    if cond is not None:
+                        conds.append(cond)
                     toks.append(tokens)
                     tes.append(te)
                     tms.append(tm)
@@ -1004,6 +1065,7 @@ class MaskGitTrainer:
                     self.save()
         finally:
             batches.close()  # joins the prefetch thread BEFORE the native
-            loader.close()   # handle is freed (use-after-free otherwise)
+            for loader in loaders:  # handles are freed (use-after-free otherwise)
+                loader.close()
         wait_for_saves()  # drain any in-flight async checkpoint writes
         self.print("training complete")

@@ -11,10 +11,16 @@
 // host I/O.
 //
 // Shard format (little endian):
-//   bytes 0..7   magic "MUSETOK1"
-//   bytes 8..15  int64 num_seqs
-//   bytes 16..23 int64 seq_len
-//   then num_seqs * seq_len * int32 token ids
+//   v1 "MUSETOK1": magic(8), int64 num_seqs, int64 seq_len,
+//     then num_seqs * seq_len * int32 token ids
+//   v2 "MUSETOK2": magic(8), int64 num_seqs, int64 seq_len,
+//     int64 grid_h, int64 grid_w (the token grid the leading grid_h*grid_w
+//     ids of each row reshape to — aspect-bucketed rectangular training;
+//     rows may carry extra trailing ids, e.g. paired super-res cond ids),
+//     then num_seqs * seq_len * int32 token ids
+//   All shards in one loader must agree on seq_len AND grid (one static
+//   shape per compiled train step); v1 shards report grid 0x0 (unknown:
+//   consumers fall back to the square isqrt contract).
 //
 // C ABI (consumed from Python via ctypes — no pybind11 in this toolchain):
 //   msl_open(paths, n_paths, batch_size, seed, n_threads, drop_last,
@@ -23,6 +29,7 @@
 //     prefetch workers start — deterministic mid-epoch resume of the data
 //     stream, the role of torchdata's StatefulDataLoader snapshots
 //   msl_seq_len(h), msl_num_seqs(h), msl_batches_per_epoch(h)
+//   msl_grid_h(h), msl_grid_w(h) -> v2 token-grid metadata (0 for v1 shards)
 //   msl_delivered(h) -> batches handed to the consumer since open (the
 //     resume token: reopen with skip_batches = this value)
 //   msl_epoch(h) -> zero-based shuffle epoch of the NEXT claim
@@ -53,7 +60,8 @@
 
 namespace {
 
-constexpr char kMagic[8] = {'M', 'U', 'S', 'E', 'T', 'O', 'K', '1'};
+constexpr char kMagicV1[8] = {'M', 'U', 'S', 'E', 'T', 'O', 'K', '1'};
+constexpr char kMagicV2[8] = {'M', 'U', 'S', 'E', 'T', 'O', 'K', '2'};
 
 struct Shard {
   const int32_t* data = nullptr;   // token area
@@ -61,6 +69,8 @@ struct Shard {
   size_t map_len = 0;
   int64_t num_seqs = 0;
   int64_t seq_len = 0;
+  int64_t grid_h = 0;  // v2 token-grid metadata; 0x0 = unknown (v1)
+  int64_t grid_w = 0;
 
   bool open(const char* path) {
     int fd = ::open(path, O_RDONLY);
@@ -72,13 +82,23 @@ struct Shard {
     ::close(fd);
     if (map_base == MAP_FAILED) { map_base = nullptr; return false; }
     const char* p = static_cast<const char*>(map_base);
-    if (memcmp(p, kMagic, 8) != 0) return false;
+    size_t header = 24;
+    if (memcmp(p, kMagicV2, 8) == 0) {
+      header = 40;
+      if (map_len < header) return false;
+      memcpy(&grid_h, p + 24, 8);
+      memcpy(&grid_w, p + 32, 8);
+      if (grid_h <= 0 || grid_w <= 0) return false;
+    } else if (memcmp(p, kMagicV1, 8) != 0) {
+      return false;
+    }
     memcpy(&num_seqs, p + 8, 8);
     memcpy(&seq_len, p + 16, 8);
     if (num_seqs < 0 || seq_len <= 0) return false;
-    size_t need = 24 + static_cast<size_t>(num_seqs) * seq_len * 4;
+    if (grid_h * grid_w > seq_len) return false;  // grid must fit the row
+    size_t need = header + static_cast<size_t>(num_seqs) * seq_len * 4;
     if (need > map_len) return false;
-    data = reinterpret_cast<const int32_t*>(p + 24);
+    data = reinterpret_cast<const int32_t*>(p + header);
     madvise(map_base, map_len, MADV_WILLNEED);
     return true;
   }
@@ -110,7 +130,13 @@ class ShardLoader {
   bool add(const char* path) {
     Shard s;
     if (!s.open(path)) { s.close(); return false; }
-    if (!shards_.empty() && s.seq_len != shards_[0].seq_len) { s.close(); return false; }
+    // one loader = one static batch shape: same seq_len and same token grid
+    if (!shards_.empty() &&
+        (s.seq_len != shards_[0].seq_len || s.grid_h != shards_[0].grid_h ||
+         s.grid_w != shards_[0].grid_w)) {
+      s.close();
+      return false;
+    }
     shards_.push_back(s);
     return true;
   }
@@ -137,6 +163,8 @@ class ShardLoader {
   }
 
   int64_t seq_len() const { return shards_[0].seq_len; }
+  int64_t grid_h() const { return shards_[0].grid_h; }
+  int64_t grid_w() const { return shards_[0].grid_w; }
   int64_t num_seqs() const { return static_cast<int64_t>(index_.size()); }
   int64_t batches_per_epoch() const {
     int64_t n = num_seqs();
@@ -290,6 +318,8 @@ void* msl_open(const char** paths, int n_paths, int batch_size, uint64_t seed,
 }
 
 int64_t msl_seq_len(void* h) { return static_cast<ShardLoader*>(h)->seq_len(); }
+int64_t msl_grid_h(void* h) { return static_cast<ShardLoader*>(h)->grid_h(); }
+int64_t msl_grid_w(void* h) { return static_cast<ShardLoader*>(h)->grid_w(); }
 int64_t msl_num_seqs(void* h) { return static_cast<ShardLoader*>(h)->num_seqs(); }
 int64_t msl_batches_per_epoch(void* h) {
   return static_cast<ShardLoader*>(h)->batches_per_epoch();

@@ -11,6 +11,12 @@ not enough — we override the config before any backend initialization.
 
 import os
 
+# zero-egress box: without these, the first HF tokenizer/config lookup per
+# process burns ~45 s in urllib retry backoff before falling back to the
+# byte tokenizer (models/t5.py) — make the fallback immediate
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
