@@ -53,6 +53,34 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> Optional
         return None
 
 
+@jax.jit
+def _quantize_u8(imgs):
+    """On-device f32 [0,1] -> uint8 before the host fetch (4x fewer bytes on
+    the serving bottleneck link). One jitted program — as four eager ops this
+    chain was the last first-request compile after warmup (load-test finding:
+    ~40 ms stall on CPU, seconds over a tunnel)."""
+    return (jnp.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+_BACKEND_COMPILES = [0]
+
+
+def _count_backend_compiles(name: str, duration: float, **kwargs) -> None:
+    if name == "/jax/core/compile/backend_compile_duration":
+        _BACKEND_COMPILES[0] += 1
+
+
+jax.monitoring.register_event_duration_secs_listener(_count_backend_compiles)
+
+
+def backend_compile_count() -> int:
+    """Process-wide count of XLA backend compiles (jax.monitoring). A
+    correctly warmed server's count is FLAT during traffic — `/stats`
+    exposes it so deployments (and the load test) can assert zero
+    mid-traffic compiles rather than infer them from latency spikes."""
+    return _BACKEND_COMPILES[0]
+
+
 class GeneratePipeline:
     """Batched, shape-stable sampling service around one MaskGit (or a Muse
     cascade's base+superres pair).
@@ -346,12 +374,14 @@ class GeneratePipeline:
                 )
             elif s == "neg_dynamic":
                 # the per-request-neg program: per-row neg embeds (zeros =
-                # the standard null for no-neg rows) + per-row scale vector
+                # the standard null for no-neg rows) + per-row scale vector.
+                # _encode_neg_rows([None]*b) IS those zeros — routing warmup
+                # through it also warms the host row-masking chain
                 embeds, mask = self._encode_prompts([""] * self.batch_size)
                 out = self._generate_batch(
                     embeds, mask,
                     self._scale_vector([self.cond_scale] * self.batch_size),
-                    neg_embeds=jnp.zeros_like(embeds),
+                    neg_embeds=self._encode_neg_rows([None] * self.batch_size),
                 )
             else:  # edit / edit_dynamic_scale
                 size = self.image_size
@@ -378,6 +408,7 @@ class GeneratePipeline:
                     out = self._edit_batch(
                         img_j, mask_j, embeds, tmask, self._next_key(), scale
                     )
+            out = _quantize_u8(out)  # warm the on-device uint8 fetch program
             jax.block_until_ready(out)
             _ = float(out.sum())  # full barrier on lazy runtimes
             per_surface[s] = time.perf_counter() - t0
@@ -456,7 +487,7 @@ class GeneratePipeline:
             # images are 4x the bytes for no benefit (PIL needs uint8), and
             # device->host bandwidth is the serving bottleneck on remote
             # (tunneled) hosts — measured 4.15 -> ~8 img/s on the cascade
-            imgs_u8 = (jnp.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            imgs_u8 = _quantize_u8(imgs)
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1
@@ -547,7 +578,7 @@ class GeneratePipeline:
                     )
             else:
                 imgs = self._edit_batch(img_j, mask_j, embeds, tmask, key, chunk_scale)
-            imgs_u8 = (jnp.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            imgs_u8 = _quantize_u8(imgs)
             imgs_np = np.asarray(imgs_u8)
             self.stats["generate_seconds"] += time.perf_counter() - t0
             self.stats["batches"] += 1

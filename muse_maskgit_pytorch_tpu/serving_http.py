@@ -382,15 +382,21 @@ class GenerateServer:
                                 getattr(server.pipeline, "warm_surfaces", ())
                             ),
                             "batch_size": server.pipeline.batch_size,
+                            "image_size": server.pipeline.image_size,
                         },
                     )
                 elif self.path == "/stats":
+                    from muse_maskgit_pytorch_tpu.serving import (
+                        backend_compile_count,
+                    )
+
                     stats = dict(server.batcher.stats)
                     if stats["batches"]:
                         stats["avg_batch_fill"] = (
                             stats["batch_fill_sum"] / stats["batches"]
                         )
                     stats["pipeline"] = dict(server.pipeline.stats)
+                    stats["backend_compiles"] = backend_compile_count()
                     self._reply(200, stats)
                 else:
                     self._reply(404, {"error": "not found"})
