@@ -224,6 +224,7 @@ class VQGanVAETrainer:
         auto_resume: bool = False,
         async_checkpoints: bool = False,
         max_checkpoints: Optional[int] = None,
+        random_flip: bool = True,
     ):
         self.num_train_steps = num_train_steps
         self.batch_size = batch_size
@@ -266,8 +267,14 @@ class VQGanVAETrainer:
         )
         self.state_shardings = _maybe_shard_state(self, shard_state, shard_state_rules)
 
-        # dataset + split (reference trainers.py:187-214)
-        ds = default(dataset, lambda: ImageDataset(folder, image_size))
+        # dataset + split (reference trainers.py:187-214). `random_flip`
+        # matches the reference's always-on RandomHorizontalFlip by default;
+        # turn it off for datasets whose semantics flips would blur (measured
+        # on the e2e shapes demo: flip ON cost ~8 dB of held-out recon PSNR
+        # at equal steps — see BASELINE.md r5)
+        ds = default(
+            dataset, lambda: ImageDataset(folder, image_size, random_flip=random_flip)
+        )
         self.ds, self.valid_ds = split_dataset(ds, valid_frac, random_split_seed)
         self.print(
             f"training with dataset of {len(self.ds)} samples and validating "
