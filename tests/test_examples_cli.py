@@ -48,7 +48,7 @@ def test_fetch_and_convert_dry_run(tmp_path):
             "--out", str(tmp_path), "--t5", "google/t5-v1_1-base",
             "--vgg", "--inception", "--dry-run",
         ],
-        capture_output=True, text=True, timeout=560,
+        capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert (tmp_path / "t5-google-t5-v1_1-base.msgpack").exists()

@@ -385,8 +385,8 @@ def test_pipeline_warmup_surfaces():
     )
     total = pipe.warmup("all")
     assert total > 0
-    assert pipe.warm_surfaces == {
-        "generate", "dynamic_scale", "edit", "edit_dynamic_scale"
+    assert pipe.warm_surfaces == set(GeneratePipeline.WARMUP_SURFACES) == {
+        "generate", "dynamic_scale", "neg_dynamic", "edit", "edit_dynamic_scale"
     }
     assert set(pipe.stats["warmup_seconds"]) == pipe.warm_surfaces
 
