@@ -67,6 +67,14 @@ T5_CONFIGS = {
 }
 
 
+# snapshot of the shipped HF-style names: a name registered into T5_CONFIGS
+# at runtime (tiny offline configs in tests/demos) is by definition not a
+# hub repo, so weight/tokenizer lookups skip HF entirely — without this,
+# each such name costs a full urllib retry backoff per process when
+# HF_HUB_OFFLINE is unset (~45 s measured)
+_BUILTIN_CONFIGS = frozenset(T5_CONFIGS)
+
+
 def get_config(name: str) -> T5Config:
     if name in T5_CONFIGS:
         return T5_CONFIGS[name]
@@ -282,16 +290,26 @@ def get_model_and_tokenizer(name: str):
     if name not in _T5_CACHE:
         cfg = get_config(name)
         model = T5Encoder(cfg, rngs=nnx.Rngs(0))
-        try:
-            from muse_maskgit_pytorch_tpu.utils.convert import load_hf_t5_weights
+        # runtime-registered custom configs are offline by definition: go
+        # straight to random-init + byte tokenizer (inject real weights via
+        # set_model / the fetch_and_convert bring-up instead)
+        custom = name in T5_CONFIGS and name not in _BUILTIN_CONFIGS
+        pretrained = False
+        if not custom:
+            try:
+                from muse_maskgit_pytorch_tpu.utils.convert import load_hf_t5_weights
 
-            load_hf_t5_weights(model, name)
-            pretrained = True
-        except Exception:
-            pretrained = False  # random-init fallback (documented above)
-        try:
-            tokenizer = HFTokenizer(name)
-        except Exception:
+                load_hf_t5_weights(model, name)
+                pretrained = True
+            except Exception:
+                pretrained = False  # random-init fallback (documented above)
+        tokenizer = None
+        if not custom:
+            try:
+                tokenizer = HFTokenizer(name)
+            except Exception:
+                tokenizer = None
+        if tokenizer is None:
             tokenizer = ByteFallbackTokenizer()
         _T5_CACHE[name] = dict(model=model, tokenizer=tokenizer, pretrained=pretrained)
     entry = _T5_CACHE[name]
