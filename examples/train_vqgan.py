@@ -56,6 +56,11 @@ def main():
         "--max-checkpoints", type=int, default=None,
         help="retain only the newest N train-state checkpoints",
     )
+    p.add_argument(
+        "--no-random-flip", action="store_true",
+        help="disable the RandomHorizontalFlip augmentation (measured -8 dB "
+             "held-out recon PSNR on edge-sharp synthetic data, BASELINE.md r5)",
+    )
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -86,6 +91,7 @@ def main():
         auto_resume=args.resume,
         async_checkpoints=args.async_checkpoints,
         max_checkpoints=args.max_checkpoints,
+        random_flip=not args.no_random_flip,
     )
     trainer.train()
 

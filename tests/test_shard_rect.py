@@ -149,6 +149,26 @@ def test_bucketed_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(resumed, straight[3:], rtol=1e-5)
 
 
+def test_rect_grid_with_paired_cond(tmp_path):
+    """v2 grid composes with the paired super-res layout: each row carries
+    [fh*fw target ids ++ cond ids]; the trainer splits the cond suffix FIRST,
+    then reshapes the target to the grid (the header check only requires
+    grid_h*grid_w <= seq_len for exactly this reason)."""
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 32, size=(10, 20)).astype(np.int32)  # 16 target + 4 cond
+    p = tmp_path / "paired_rect.bin"
+    write_shard(p, rows, grid=(2, 8))
+    assert read_shard_header(p) == {"num_seqs": 10, "seq_len": 20, "grid": (2, 8)}
+
+    t = _rect_trainer(tmp_path, "pc", num_train_steps=2, save_model_every=10**9)
+    losses = []
+    t.train_from_shards(
+        [p], cond_token_len=4, num_threads=1,
+        log_fn=lambda logs: losses.append(logs["loss"]),
+    )
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
 def test_image_dataset_rect(tmp_path):
     from PIL import Image
 
