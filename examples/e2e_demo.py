@@ -163,8 +163,13 @@ def run_demo(
     log(f"== dataset: {n_images} captioned {image_size}px images at {data_dir}")
 
     # -- 2) train the VQGanVAE from the folder -------------------------------
+    import math as _math
+
     vae = VQGanVAE(dim=vae_dim, layers=2, codebook_size=codebook_size,
-                   use_vgg_and_gan=False, rngs=nnx.Rngs(seed))
+                   use_vgg_and_gan=False,
+                   # GroupNorm groups must divide dim (vqgan_vae.py:159)
+                   encdec_resnet_groups=_math.gcd(vae_dim, 16),
+                   rngs=nnx.Rngs(seed))
     vae_trainer = VQGanVAETrainer(
         vae, folder=str(data_dir), num_train_steps=vae_steps, batch_size=32,
         image_size=image_size, lr=2e-3, valid_frac=0.0, use_ema=False,

@@ -209,7 +209,9 @@ def test_two_process_cluster_train_save_restore(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            # ~695 s solo on this box; 2x headroom for xdist-suite load
+            # (900 s flaked under two concurrent workers, r5 suite run)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
