@@ -586,12 +586,12 @@ def exp_train_mfu():
     tm = jnp.ones((1, batch, text_len), bool)
 
     state = trainer.state
-    state, logs = trainer._train_step(state, ids, te, tm)  # compile
+    state, logs = trainer._train_step(state, ids, te, tm, None)  # compile
     float(logs["loss"])
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        state, logs = trainer._train_step(state, ids, te, tm)
+        state, logs = trainer._train_step(state, ids, te, tm, None)
     float(logs["loss"])  # single sync at the end: honest device-time amortization
     dt = (time.perf_counter() - t0) / n
 
@@ -612,11 +612,11 @@ def exp_train_mfu():
         results_folder="/tmp/trainmfu2", use_ema=True,
     )
     state2 = trainer2.state
-    state2, logs = trainer2._train_step(state2, ids, te, tm)
+    state2, logs = trainer2._train_step(state2, ids, te, tm, None)
     float(logs["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
-        state2, logs = trainer2._train_step(state2, ids, te, tm)
+        state2, logs = trainer2._train_step(state2, ids, te, tm, None)
     float(logs["loss"])
     dt2 = (time.perf_counter() - t0) / n
     flops2 = maskgit_train_flops(
@@ -628,6 +628,76 @@ def exp_train_mfu():
         f"  same w/o self-cond: {dt2*1e3:.1f} ms/step, {batch/dt2:.0f} img/s, "
         f"{flops2/1e12:.2f} TF/step, train MFU {mfu2:.1f}%"
     )
+
+
+def exp_train_loss():
+    """A/B the train-step CE implementation at reference scale (ids path,
+    b64 / seq 256 / vocab 65536). The shipped `cross_entropy_ignore_index`
+    materializes the FULL (b, n, V) f32 log_softmax output (~4.3 GB at this
+    shape) only to gather one element per position; the fused arm computes
+    `picked_logit - logsumexp(logits)` directly so the only (b, n, V)
+    traffic is reading the bf16 logits into the reductions. Interleaved in
+    ONE process, fresh trainer per timing (donation invalidates modules —
+    CLAUDE.md), 20 amortized donated steps, single end fetch.
+    Run: python bench_sweep.py trainloss"""
+    import muse_maskgit_pytorch_tpu.models.transformer as T
+    from muse_maskgit_pytorch_tpu.training.trainers import MaskGitTrainer
+    from muse_maskgit_pytorch_tpu.utils.metrics import (
+        V5E_BF16_PEAK_FLOPS,
+        maskgit_train_flops,
+    )
+
+    batch, seq, text_len = 64, 256, 64
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (1, batch, seq), 0, 65536, jnp.int32)
+    te = jax.random.normal(key, (1, batch, text_len, 768), jnp.float32)
+    tm = jnp.ones((1, batch, text_len), bool)
+    flops = maskgit_train_flops(
+        batch=batch, seq_len=seq, text_len=text_len, dim=512, depth=8,
+        vocab=65536, self_cond=False,
+    )
+
+    shipped = T.cross_entropy_ignore_index
+
+    def fused_ce(logits, labels, ignore_index):
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+        valid = labels != ignore_index
+        safe = jnp.where(valid, labels, 0)
+        picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        ll = picked.astype(jnp.float32) - lse
+        denom = jnp.maximum(valid.sum(), 1)
+        return -(ll * valid).sum() / denom
+
+    def run_arm(ce_fn):
+        T.cross_entropy_ignore_index = ce_fn
+        mg = build(seq, 256)  # fresh module: the previous arm's step donated its buffers
+        trainer = MaskGitTrainer(
+            mg, num_train_steps=1, batch_size=batch, grad_accum_every=1,
+            results_folder="/tmp/trainloss", use_ema=True,
+        )
+        state = trainer.state
+        state, logs = trainer._train_step(state, ids, te, tm, None)  # compile
+        loss0 = float(logs["loss"])
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, logs = trainer._train_step(state, ids, te, tm, None)
+        float(logs["loss"])
+        dt = (time.perf_counter() - t0) / n
+        return dt, loss0
+
+    try:
+        for rep in range(2):
+            for name, fn in [("shipped", shipped), ("fused", fused_ce)]:
+                dt, loss0 = run_arm(fn)
+                mfu = flops / dt / V5E_BF16_PEAK_FLOPS * 100
+                log(
+                    f"  rep {rep} {name:8s}: {dt*1e3:6.1f} ms/step, "
+                    f"{batch/dt:4.0f} img/s, train MFU {mfu:.1f}%  "
+                    f"(step-0 loss {loss0:.6f})"
+                )
+    finally:
+        T.cross_entropy_ignore_index = shipped
 
 
 def exp_gan_step():
@@ -808,6 +878,8 @@ if __name__ == "__main__":
         exp_ctx_cache()
     elif cmd == "trainmfu":
         exp_train_mfu()
+    elif cmd == "trainloss":
+        exp_train_loss()
     elif cmd == "ganstep":
         exp_gan_step()
     elif cmd == "edit":

@@ -443,10 +443,13 @@ class MaskGit(nnx.Module):
         logits = self.transformer(
             x, text_embeds=text_embeds, text_mask=text_mask,
             return_logits=True, attn_impl=attn_impl, pos_grid=pos_grid,
-        ).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        tok_logp = jnp.take_along_axis(logp, x[..., None], axis=-1)[..., 0]
-        return jnp.mean(tok_logp, axis=-1)
+        )
+        # gather the token logit BEFORE subtracting the logsumexp: identical
+        # per-position math, but never materializes the (b, n, V) f32
+        # log_softmax output (see cross_entropy_ignore_index)
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(logits, x[..., None], axis=-1)[..., 0]
+        return jnp.mean(picked.astype(jnp.float32) - lse, axis=-1)
 
     def generate_reranked(
         self,

@@ -867,11 +867,21 @@ class Transformer(nnx.Module):
 
 def cross_entropy_ignore_index(logits: Array, labels: Array, ignore_index: int) -> Array:
     """Mean CE over positions where labels != ignore_index
-    (torch F.cross_entropy(ignore_index=...) semantics, reference :343)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    (torch F.cross_entropy(ignore_index=...) semantics, reference :343).
+
+    Computed as `picked_logit - logsumexp(logits)` rather than gathering
+    from a materialized log_softmax: per-position math is identical, but at
+    train scale (b64, seq 256, vocab 65536) the full (b, n, V) f32
+    log_softmax output is ~4.3 GB of HBM traffic written and re-read only
+    to gather ONE element per position — the fused form keeps the (b, n, V)
+    traffic to reading the bf16 logits into the reductions. Measured on the
+    v5e: train step 89.2 -> 78.7 ms (718 -> 814 img/s, train MFU 37.3% ->
+    42.3%), step-0 loss identical (BASELINE.md r5)."""
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
-    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    ll = picked.astype(jnp.float32) - lse
     denom = jnp.maximum(valid.sum(), 1)
     return -(ll * valid).sum() / denom
 
