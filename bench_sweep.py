@@ -531,6 +531,109 @@ def exp_anatomy():
 
 
 
+def exp_superres_anatomy():
+    """Cascade second-stage anatomy at the bench.py headline config (vae dim
+    256, transformer dim 512 depth 8, b16, T=18): where does the super-res
+    stage's time go, and how much of it is the cond-image PIXEL ROUND-TRIP
+    (base ids -> 256px decode -> clip -> re-encode -> cond ids) that a
+    shared-VAE cascade doesn't strictly need?  Stage isolation mirrors
+    exp_anatomy: full-vs-ids for the 512px VAE decode share, T18-vs-T1 for
+    the per-step cost, plus a cond_images-vs-cond_token_ids A/B (identical
+    grids when both stages share the VAE: 256px/16 = 512px/16/2 = 16x16).
+    Run: python bench_sweep.py sranatomy"""
+    from muse_maskgit_pytorch_tpu.serving import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    vae = VQGanVAE(dim=256, layers=4, codebook_size=65536, use_vgg_and_gan=False, rngs=nnx.Rngs(0))
+    base = build(256, 256, vae=vae)
+    sr = build(1024, 512, cond_image_size=256, vae=vae, cond_vae=vae)
+    batch = 16
+    te = jax.random.normal(jax.random.PRNGKey(0), (batch, 64, 768), jnp.float32)
+    tm = jnp.ones((batch, 64), bool)
+
+    def fetch(x):
+        return float(x.sum())
+
+    # fixed base-stage output to feed the super-res arms (both forms)
+    low_ids = base.generate(
+        text_embeds=te, text_mask=tm, rng=jax.random.PRNGKey(9),
+        timesteps=18, cond_scale=3.0, return_ids=True,
+    )
+    low_img = jnp.clip(base.vae.decode_from_ids(low_ids), 0.0, 1.0)
+    fetch(low_img)
+
+    def timed(fn, n=5):
+        fetch(fn(jax.random.PRNGKey(99)))
+        t0 = time.perf_counter()
+        for i in range(n):
+            fetch(fn(jax.random.PRNGKey(i)))
+        return (time.perf_counter() - t0) / n * 1000
+
+    # base stage alone (ids only vs full image): what the first stage costs
+    base_ids = timed(lambda k: base.generate(
+        text_embeds=te, text_mask=tm, rng=k, timesteps=18, cond_scale=3.0,
+        return_ids=True))
+    base_full = timed(lambda k: base.generate(
+        text_embeds=te, text_mask=tm, rng=k, timesteps=18, cond_scale=3.0))
+    log(f"  base stage  T18 ids : {base_ids:7.1f} ms/batch")
+    log(f"  base stage  T18 full: {base_full:7.1f} ms  (256px VAE decode share {base_full - base_ids:5.1f} ms)")
+
+    # super-res stage, cond_images path (the shipped cascade contract)
+    def sr_gen(k, T, ids_only, **kw):
+        return sr.generate(
+            text_embeds=te, text_mask=tm, rng=k, timesteps=T,
+            cond_scale=3.0, return_ids=ids_only, **kw)
+
+    sr_full = timed(lambda k: sr_gen(k, 18, False, cond_images=low_img))
+    sr_ids = timed(lambda k: sr_gen(k, 18, True, cond_images=low_img))
+    sr_ids1 = timed(lambda k: sr_gen(k, 1, True, cond_images=low_img))
+    per_step = (sr_ids - sr_ids1) / 17
+    log(f"  superres    T18 full: {sr_full:7.1f} ms/batch ({batch / (sr_full / 1000):.2f} img/s)")
+    log(f"  superres    T18 ids : {sr_ids:7.1f} ms  (512px VAE decode share {sr_full - sr_ids:5.1f} ms)")
+    log(f"  superres    T1  ids : {sr_ids1:7.1f} ms  (cond encode + ctx precompute + step0 + RPC floor)")
+    log(f"  per superres decode step (2..18): {per_step:6.2f} ms")
+
+    # cond-token fast path: skip decode(ids)->clip->encode when the stages
+    # share a VAE and the grids match (base 16x16 == superres cond 16x16)
+    sr_ids_direct = timed(lambda k: sr_gen(k, 18, True, cond_token_ids=low_ids))
+    sr_ids1_direct = timed(lambda k: sr_gen(k, 1, True, cond_token_ids=low_ids))
+    log(f"  superres    T18 ids, cond_token_ids direct: {sr_ids_direct:7.1f} ms  (vs {sr_ids:7.1f})")
+    log(f"  superres    T1  ids, cond_token_ids direct: {sr_ids1_direct:7.1f} ms  (vs {sr_ids1:7.1f})")
+
+    # the round-trip itself, isolated (what the direct path deletes); jitted
+    # as ONE program — eager would pay a ~30 ms tunnel RPC per op
+    rt_fn = nnx.jit(
+        lambda m, ids: m.encode(
+            jnp.clip(m.decode_from_ids(ids), 0.0, 1.0), train=False
+        )[1]
+    )
+    rt = timed(lambda k: rt_fn(vae, low_ids))
+    log(f"  cond pixel round-trip (decode 256px + clip + encode), isolated: {rt:6.1f} ms/batch")
+
+    # round-trip token fidelity: how many ids survive encode(decode(ids))?
+    rt_ids = base.vae.encode(low_img, train=False)[1]
+    agree = float(jnp.mean((rt_ids.reshape(batch, -1) == low_ids.reshape(batch, -1)).astype(jnp.float32)))
+    log(f"  encode(decode(ids)) id agreement (random-init VAE): {agree:.3f}")
+
+    # full cascade, both cond forms, end to end
+    dec_fn = nnx.jit(lambda m, ids: jnp.clip(m.decode_from_ids(ids), 0.0, 1.0))
+
+    def cas(form):
+        def run(k):
+            k1, k2 = jax.random.split(k)
+            ids = base.generate(
+                text_embeds=te, text_mask=tm, rng=k1, timesteps=18,
+                cond_scale=3.0, return_ids=True)
+            if form == "pixels":
+                return sr_gen(k2, 18, False, cond_images=dec_fn(vae, ids))
+            return sr_gen(k2, 18, False, cond_token_ids=ids)
+        return run
+
+    for form in ("pixels", "ids"):
+        dt = timed(cas(form), n=3)
+        log(f"  full cascade (cond via {form:6s}): {dt:7.1f} ms/batch ({batch / (dt / 1000):.2f} img/s)")
+
+
 def exp_ln_dtype():
     """Probe: LayerNorm computes in f32 with casts (models/transformer.py) —
     if XLA materializes those intermediates, bf16 LN would halve that HBM
@@ -892,6 +995,8 @@ if __name__ == "__main__":
         exp_null_fold()
     elif cmd == "anatomy":
         exp_anatomy()
+    elif cmd == "sranatomy":
+        exp_superres_anatomy()
     elif cmd == "lndtype":
         exp_ln_dtype()
     else:

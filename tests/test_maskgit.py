@@ -203,6 +203,25 @@ def test_superres_generate_with_cond_images(rng):
     assert imgs.shape == (2, 32, 32, 3)
 
 
+def test_superres_generate_cond_token_ids_matches_cond_images(rng):
+    """generate(cond_token_ids=encode(img)) is token-exact with
+    generate(cond_images=img): the ids path enters the decode at exactly the
+    point the pixel path reaches after its cond_vae.encode — this is the
+    contract the Muse `cond_via='ids'` fast path (skip the base-stage
+    decode -> clip -> re-encode round trip) relies on."""
+    mg = superres_maskgit()
+    cond = jax.random.uniform(rng, (2, 16, 16, 3))
+    _, cond_ids, _ = mg.cond_vae.encode(cond, train=False)
+    te = text_embeds_for(2, rng)
+    via_pixels = mg.generate(
+        text_embeds=te, cond_images=cond, rng=rng, timesteps=2, return_ids=True
+    )
+    via_ids = mg.generate(
+        text_embeds=te, cond_token_ids=cond_ids, rng=rng, timesteps=2, return_ids=True
+    )
+    assert jnp.array_equal(via_pixels, via_ids)
+
+
 def test_muse_cascade(rng):
     base = base_maskgit()
     sr = superres_maskgit()
