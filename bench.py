@@ -204,15 +204,20 @@ def main():
     cas_batch = 16
     te_c, tm_c = text_embeds[:cas_batch], text_mask[:cas_batch]
 
+    # the stages share one VAE, so the base stage's token grid conditions the
+    # super-res decode DIRECTLY (Muse cond_via='ids'): skips the
+    # decode->clip->re-encode pixel round trip — ~46 ms/batch16 and, more to
+    # the point, encode(decode(ids)) is NOT the identity, so the ids path
+    # hands the super-res stage the exact tokens the base stage chose
+    # (bench_sweep.py sranatomy; pixels-path cascade: 12.0 img/s)
     def cascade(key):
         k1, k2 = jax.random.split(key)
-        low = maskgit.generate(
+        low_ids = maskgit.generate(
             text_embeds=te_c, text_mask=tm_c, rng=k1,
-            timesteps=timesteps, cond_scale=3.0,
+            timesteps=timesteps, cond_scale=3.0, return_ids=True,
         )
-        low = jnp.clip(low, 0.0, 1.0)
         return superres.generate(
-            text_embeds=te_c, text_mask=tm_c, rng=k2, cond_images=low,
+            text_embeds=te_c, text_mask=tm_c, rng=k2, cond_token_ids=low_ids,
             timesteps=timesteps, cond_scale=3.0,
         )
 
@@ -232,11 +237,12 @@ def main():
 
     # cascade MFU: base-stage + super-res-stage model FLOPs at cas_batch.
     # Super-res: seq 1024, cross-attn over text + 256 conditioning tokens
-    # (256px cond image -> 16x16 fmap), 512px VAE decode. Conv FLOPs scale
-    # linearly with batch and with pixel area, so the 512px decode and the
-    # 256px cond encode are scaled from the measured 256px cost-model numbers
-    # (decode x4 area; encode ~= enc of a 256px image) rather than paying
-    # another remote compile just for cost_analysis.
+    # (the base stage's 16x16 token grid, passed as ids), 512px VAE decode.
+    # Conv FLOPs scale linearly with batch and pixel area, so the 512px
+    # decode is scaled from the measured 256px cost-model number (x4 area)
+    # rather than paying another remote compile just for cost_analysis.
+    # The ids conditioning path runs NO base-stage decode and NO cond
+    # encode, so neither contributes FLOPs here (honest numerator).
     sr_head_pos = []
     for s, e, kb in _compact_segments(cosine_schedule, 1024, timesteps):
         sr_head_pos += [min(kb, 1024)] * (e - s)
@@ -244,19 +250,14 @@ def main():
         batch=cas_batch, timesteps=timesteps, seq_len=256, text_len=64,
         dim=512, depth=8, vocab=65536, cond_scale=3.0, self_cond=False,
         head_positions_per_step=head_pos,
-        vae_decode_flops=dec_flops * cas_batch / batch,
+        vae_decode_flops=0.0,
     )
-    try:
-        enc_flops = float(enc.lower(vae_state, img_batch).compile().cost_analysis()["flops"])
-    except Exception as e:
-        log(f"encoder cost_analysis unavailable ({e}); cascade MFU excludes cond encode")
-        enc_flops = 0.0
     sr_flops = maskgit_generate_flops(
         batch=cas_batch, timesteps=timesteps, seq_len=1024, text_len=64,
         dim=512, depth=8, vocab=65536, cond_scale=3.0, self_cond=False,
         cond_seq_len=256,
         head_positions_per_step=sr_head_pos,
-        vae_decode_flops=(4.0 * dec_flops + enc_flops) * cas_batch / batch,
+        vae_decode_flops=4.0 * dec_flops * cas_batch / batch,
     )
     cas_flops = base16_flops + sr_flops
     cas_mfu_pct = 100.0 * cas_flops / (cas_elapsed / n_cas) / V5E_BF16_PEAK_FLOPS
@@ -284,6 +285,7 @@ def main():
             "cascade_mfu_pct": round(cas_mfu_pct, 2),
             "cascade_model_tflops_per_generate": round(cas_flops / 1e12, 3),
             "cascade_batch": cas_batch,
+            "cascade_cond_via": "ids",
             "cascade_vs_north_star_4imgs": round(cascade_img_s / 4.0, 3),
         },
     }

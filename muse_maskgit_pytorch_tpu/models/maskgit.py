@@ -1353,6 +1353,41 @@ def _generate_jit(
 # ---------------------------------------------------------------------------
 
 
+def vaes_share_weights(a, b) -> bool:
+    """True iff two VAEs carry the SAME weights — the precondition for
+    handing one stage's token ids to the other (`Muse(cond_via='ids')`).
+
+    `MaskGit.__init__` stores `copy_for_eval()` clones, so object identity
+    never holds across stages; but `nnx.clone` shares the immutable
+    jax.Array leaves, so two clones of one source VAE are recognized by
+    leaf identity with zero device work. VAEs restored separately from the
+    same checkpoint fall through to a single fused value comparison (one
+    jitted program, one host fetch — not one RPC per leaf, which over the
+    axon tunnel would cost ~30 ms each)."""
+    if a is None or b is None:
+        return a is b
+    if a is b:
+        return True
+    la = jax.tree.leaves(nnx.state(a))
+    lb = jax.tree.leaves(nnx.state(b))
+    if len(la) != len(lb):
+        return False
+    if all(x is y for x, y in zip(la, lb)):
+        return True
+    if any(
+        getattr(x, "shape", None) != getattr(y, "shape", None)
+        or getattr(x, "dtype", None) != getattr(y, "dtype", None)
+        for x, y in zip(la, lb)
+    ):
+        return False
+    eq = jax.jit(
+        lambda xs, ys: jnp.all(
+            jnp.stack([jnp.array_equal(x, y) for x, y in zip(xs, ys)])
+        )
+    )(la, lb)
+    return bool(eq)
+
+
 class Muse(nnx.Module):
     """base 256px MaskGit -> super-res 512px MaskGit -> (optionally) PIL."""
 
@@ -1383,6 +1418,7 @@ class Muse(nnx.Module):
         rerank_candidates: int = 1,
         rerank_score: str = "auto",
         image_size: Optional[Union[int, Tuple[int, int]]] = None,
+        cond_via: str = "pixels",
     ):
         """`rerank_candidates > 1` re-ranks at the BASE stage (Muse paper
         §2.8 does the same with CLIP over 16 base samples): K candidates per
@@ -1394,7 +1430,32 @@ class Muse(nnx.Module):
         `image_size`: BASE-stage output resolution (int or (h, w) for a
         non-square aspect ratio); the super-res stage scales it by the
         cascade's trained upscaling ratio. Both stages ride the
-        variable-resolution positional-grid resize (`MaskGit.generate`)."""
+        variable-resolution positional-grid resize (`MaskGit.generate`).
+
+        `cond_via`: how the base stage's output conditions the super-res
+        stage. "pixels" (default — the reference's inter-stage contract,
+        muse_maskgit_pytorch.py:769-779): decode the base tokens to a
+        low-res image, clamp, and let the super-res stage re-encode it
+        through its cond VAE. "ids": hand the base stage's token grid to
+        the super-res decode DIRECTLY — valid only when the super-res
+        stage's cond VAE IS the base stage's VAE (shared codebook), where
+        it is both faster (skips a full VAE decode + encode per batch) and
+        strictly more faithful: `encode(decode(ids))` is not the identity,
+        so the pixel round trip hands the super-res stage a corrupted copy
+        of the tokens the base stage actually chose. Token-exactness of the
+        ids entry point vs the encoded-pixels one is pinned by
+        tests/test_maskgit.py::test_superres_generate_cond_token_ids_matches_cond_images.
+        `return_lowres` still works under "ids" (the low-res decode then
+        runs only because you asked for the images)."""
+        assert cond_via in ("pixels", "ids"), cond_via
+        if cond_via == "ids":
+            assert vaes_share_weights(
+                self.superres_maskgit.cond_vae, self.base_maskgit.vae
+            ), (
+                "cond_via='ids' requires the cascade stages to share one VAE "
+                "(the super-res cond codebook must be the base stage's); "
+                "this cascade's differ — use cond_via='pixels'"
+            )
         rng = default(rng, lambda: jax.random.PRNGKey(0))
         k_base, k_sr = jax.random.split(rng)
 
@@ -1409,8 +1470,9 @@ class Muse(nnx.Module):
             sr_size = (bh * ratio, bw * ratio)
             image_size = (bh, bw)
 
+        via_ids = cond_via == "ids"
         if rerank_candidates > 1:
-            lowres_image = self.base_maskgit.generate_reranked(
+            base_out = self.base_maskgit.generate_reranked(
                 texts=texts,
                 rng=k_base,
                 num_candidates=rerank_candidates,
@@ -1420,9 +1482,10 @@ class Muse(nnx.Module):
                 timesteps=timesteps,
                 attn_impl=attn_impl,
                 image_size=image_size,
+                return_ids=via_ids,
             )
         else:
-            lowres_image = self.base_maskgit.generate(
+            base_out = self.base_maskgit.generate(
                 texts=texts,
                 rng=k_base,
                 cond_scale=cond_scale,
@@ -1430,27 +1493,39 @@ class Muse(nnx.Module):
                 timesteps=timesteps,
                 attn_impl=attn_impl,
                 image_size=image_size,
+                return_ids=via_ids,
             )
-        # B4 fix: clamp decoder output before it conditions the next stage
-        lowres_image = jnp.clip(lowres_image, 0.0, 1.0)
+        if via_ids:
+            lowres_image = None
+            sr_cond = dict(cond_token_ids=base_out)
+        else:
+            # B4 fix: clamp decoder output before it conditions the next stage
+            lowres_image = jnp.clip(base_out, 0.0, 1.0)
+            sr_cond = dict(cond_images=lowres_image)
 
         superres_image = self.superres_maskgit.generate(
             texts=texts,
             rng=k_sr,
             cond_scale=cond_scale,
-            cond_images=lowres_image,
             temperature=temperature,
             timesteps=default(superres_timesteps, timesteps),
             attn_impl=attn_impl,
             image_size=sr_size,
+            **sr_cond,
         )
         superres_image = jnp.clip(superres_image, 0.0, 1.0)
+
+        if via_ids and return_lowres:
+            lowres_image = jnp.clip(
+                self.base_maskgit.vae.decode_from_ids(base_out), 0.0, 1.0
+            )
 
         if return_pil_images:
             from muse_maskgit_pytorch_tpu.training.data import to_pil_images
 
-            lowres_image = to_pil_images(lowres_image)
             superres_image = to_pil_images(superres_image)
+            if return_lowres:
+                lowres_image = to_pil_images(lowres_image)
 
         if not return_lowres:
             return superres_image

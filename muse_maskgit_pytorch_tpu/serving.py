@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse
+from muse_maskgit_pytorch_tpu.models.maskgit import MaskGit, Muse, vaes_share_weights
 from muse_maskgit_pytorch_tpu.models.t5 import t5_encode_text_with_mask
 from muse_maskgit_pytorch_tpu.parallel.mesh import shard_batch
 
@@ -120,6 +120,7 @@ class GeneratePipeline:
         rerank_candidates: int = 1,
         rerank_score: str = "auto",
         image_size=None,
+        cond_via: str = "auto",
     ):
         # cold-start story: persistent XLA compile cache ON by default — a
         # restarted server deserializes the cascade executables instead of
@@ -178,6 +179,32 @@ class GeneratePipeline:
                     // model.base_maskgit.image_size
                 )
                 self._gen_sr_size = (bh * ratio, bw * ratio)
+        # cascade inter-stage contract (Muse.__call__ `cond_via`): "ids"
+        # hands the base stage's token grid straight to the super-res decode
+        # — faster (no decode->clip->re-encode round trip) and strictly more
+        # faithful (encode(decode(ids)) is not the identity), but only valid
+        # when the stages share one VAE. "auto" (default) picks "ids"
+        # exactly when they do — serving is this framework's own subsystem,
+        # so it defaults to the better contract; Muse.__call__ itself
+        # defaults to "pixels" (the reference's inter-stage semantics).
+        assert cond_via in ("auto", "pixels", "ids"), cond_via
+        assert self.is_cascade or cond_via == "auto", (
+            "cond_via is a cascade inter-stage knob; this pipeline serves a "
+            "single MaskGit"
+        )
+        self.cond_via = "pixels"
+        if self.is_cascade:
+            shared = vaes_share_weights(
+                model.superres_maskgit.cond_vae, model.base_maskgit.vae
+            )
+            if cond_via == "ids":
+                assert shared, (
+                    "cond_via='ids' requires the cascade stages to share "
+                    "one VAE; this cascade's differ"
+                )
+            self.cond_via = (
+                ("ids" if shared else "pixels") if cond_via == "auto" else cond_via
+            )
         self._rng = jax.random.PRNGKey(seed)
         self.stats = {"requests": 0, "images": 0, "batches": 0, "generate_seconds": 0.0}
         # compiled-surface warmup bookkeeping (see warmup()); a surface is
@@ -279,7 +306,7 @@ class GeneratePipeline:
         return self._generate_batch_inner(embeds, mask, cond_scale, neg_embeds)
 
     def _base_generate(self, base, embeds, mask, key, cond_scale=None,
-                       neg_embeds=None):
+                       neg_embeds=None, return_ids=False):
         """Base-stage generate, re-ranked when the pipeline asks for it."""
         common = dict(
             neg_text_embeds=(
@@ -289,6 +316,7 @@ class GeneratePipeline:
             cond_scale=self.cond_scale if cond_scale is None else cond_scale,
             temperature=self.temperature,
             image_size=self._gen_base_size,
+            return_ids=return_ids,
         )
         if self.rerank_candidates > 1:
             return base.generate_reranked(
@@ -303,12 +331,17 @@ class GeneratePipeline:
         key = self._next_key()
         if self.is_cascade:
             k1, k2 = jax.random.split(key)
+            via_ids = self.cond_via == "ids"
             low = self._base_generate(
-                self.model.base_maskgit, embeds, mask, k1, cond_scale, neg_embeds
+                self.model.base_maskgit, embeds, mask, k1, cond_scale,
+                neg_embeds, return_ids=via_ids,
             )
-            low = jnp.clip(low, 0.0, 1.0)
+            if via_ids:
+                sr_cond = dict(cond_token_ids=low)
+            else:
+                sr_cond = dict(cond_images=jnp.clip(low, 0.0, 1.0))
             return self.model.superres_maskgit.generate(
-                text_embeds=embeds, text_mask=mask, rng=k2, cond_images=low,
+                text_embeds=embeds, text_mask=mask, rng=k2, **sr_cond,
                 neg_text_embeds=(
                     self._neg_embeds() if neg_embeds is None else neg_embeds
                 ),
@@ -715,6 +748,7 @@ def export_pipeline(
     sampler: str = "auto",
     platforms: Optional[Sequence[str]] = None,
     dynamic_cond_scale: bool = False,
+    cond_via: str = "auto",
 ) -> ExportedPipeline:
     """AOT-export the fixed-shape generate program (see `ExportedPipeline`).
 
@@ -738,6 +772,19 @@ def export_pipeline(
     gen_kwargs = dict(timesteps=timesteps, temperature=temperature, sampler=sampler)
 
     standalone_cond = (not is_cascade) and model.resize_image_for_cond_image
+    # inter-stage contract resolved exactly like GeneratePipeline(cond_via=)
+    assert cond_via in ("auto", "pixels", "ids"), cond_via
+    assert is_cascade or cond_via == "auto", (
+        "cond_via is a cascade inter-stage knob; this export is a single MaskGit"
+    )
+    via_ids = False
+    if is_cascade:
+        shared = vaes_share_weights(
+            model.superres_maskgit.cond_vae, model.base_maskgit.vae
+        )
+        if cond_via == "ids":
+            assert shared, "cond_via='ids' requires a shared cascade VAE"
+        via_ids = shared if cond_via == "auto" else cond_via == "ids"
 
     def run(leaves_in, text_embeds, text_mask, key, *rest):
         rest = list(rest)
@@ -747,12 +794,16 @@ def export_pipeline(
             k1, k2 = jax.random.split(key)
             low = m.base_maskgit.generate(
                 text_embeds=text_embeds, text_mask=text_mask, rng=k1,
-                cond_scale=scale, **gen_kwargs,
+                cond_scale=scale, return_ids=via_ids, **gen_kwargs,
             )
-            low = jnp.clip(low, 0.0, 1.0)
+            sr_cond = (
+                dict(cond_token_ids=low)
+                if via_ids
+                else dict(cond_images=jnp.clip(low, 0.0, 1.0))
+            )
             images = m.superres_maskgit.generate(
                 text_embeds=text_embeds, text_mask=text_mask, rng=k2,
-                cond_images=low, cond_scale=scale, **gen_kwargs,
+                cond_scale=scale, **sr_cond, **gen_kwargs,
             )
         else:
             images = m.generate(
@@ -790,6 +841,7 @@ def export_pipeline(
         "n_state_leaves": len(leaves),
         "needs_cond_images": bool(standalone_cond),
         "dynamic_cond_scale": bool(dynamic_cond_scale),
+        "cond_via": ("ids" if via_ids else "pixels") if is_cascade else None,
         "platforms": list(exported.platforms),
         "image_size": int(
             (model.superres_maskgit if is_cascade else model).image_size

@@ -236,6 +236,60 @@ def test_muse_cascade(rng):
     assert sr_img.shape == (1, 32, 32, 3) and lr_img.shape == (1, 16, 16, 3)
 
 
+def test_muse_cond_via_ids(rng):
+    """cond_via='ids' (shared-VAE cascade): the base stage's token grid
+    conditions the super-res decode directly — no decode->clip->re-encode
+    round trip. Pin (a) the full output contract incl. return_lowres, and
+    (b) exact equality with manually chaining base.generate(return_ids=True)
+    into superres.generate(cond_token_ids=...) under Muse's key split."""
+    vae = tiny_vae()
+    base = MaskGit(
+        image_size=16, transformer=tiny_transformer(16), vae=vae
+    )
+    sr = MaskGit(
+        image_size=32,
+        cond_image_size=16,
+        transformer=tiny_transformer(64, seed=1),
+        vae=tiny_vae(2),
+        cond_vae=vae,
+    )
+    muse = Muse(base, sr)
+    sr_img, lr_img = muse(
+        ["a cat", "a dog"], rng=rng, timesteps=2, cond_via="ids",
+        return_lowres=True, return_pil_images=False,
+    )
+    assert sr_img.shape == (2, 32, 32, 3) and lr_img.shape == (2, 16, 16, 3)
+    assert np.asarray(sr_img).min() >= 0 and np.asarray(sr_img).max() <= 1
+
+    k_base, k_sr = jax.random.split(rng)
+    ids = base.generate(texts=["a cat", "a dog"], rng=k_base, timesteps=2,
+                        return_ids=True)
+    manual = sr.generate(texts=["a cat", "a dog"], rng=k_sr, timesteps=2,
+                         cond_token_ids=ids)
+    assert jnp.array_equal(sr_img, jnp.clip(manual, 0.0, 1.0))
+
+
+def test_vaes_share_weights():
+    """All three recognition tiers: clone identity (zero device work),
+    equal-values fallback (separately built but identical weights), and a
+    genuine mismatch."""
+    from muse_maskgit_pytorch_tpu.models.maskgit import vaes_share_weights
+
+    src = tiny_vae()
+    a, b = src.copy_for_eval(), src.copy_for_eval()
+    assert vaes_share_weights(a, b)  # shared jax.Array leaves
+    assert vaes_share_weights(tiny_vae(), tiny_vae())  # same seed, new arrays
+    assert not vaes_share_weights(tiny_vae(), tiny_vae(seed=3))
+    assert not vaes_share_weights(a, None) and vaes_share_weights(None, None)
+
+
+def test_muse_cond_via_ids_rejects_unshared_vae(rng):
+    muse = Muse(base_maskgit(), superres_maskgit())  # distinct cond VAE
+    with pytest.raises(AssertionError, match="share one VAE"):
+        muse(["a cat"], rng=rng, timesteps=2, cond_via="ids",
+             return_pil_images=False)
+
+
 def test_muse_pil_output(rng):
     from PIL import Image
 

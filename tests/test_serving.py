@@ -111,6 +111,57 @@ def test_pipeline_cascade():
     assert out.shape == (3, 32, 32, 3)
 
 
+def test_pipeline_cascade_cond_via_resolution():
+    """The pipeline's `cond_via='auto'` resolves to 'ids' exactly when the
+    cascade stages share one VAE (the fixture's are seed-identical clones of
+    nothing — equal VALUES, distinct objects — which `vaes_share_weights`
+    must still recognize); explicit 'ids' output is identical to auto's, and
+    the reference-semantics 'pixels' contract differs (encode(decode(ids))
+    is not the identity at random init)."""
+    def cascade():
+        return Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
+
+    auto = GeneratePipeline(
+        cascade(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=7,
+    )
+    assert auto.cond_via == "ids"
+    explicit = GeneratePipeline(
+        cascade(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=7, cond_via="ids",
+    )
+    pixels = GeneratePipeline(
+        cascade(), batch_size=2, timesteps=2, text_len=16, return_pil=False,
+        compile_cache=False, seed=7, cond_via="pixels",
+    )
+    prompts = ["a cat", "a dog"]
+    a, e, p = auto(prompts), explicit(prompts), pixels(prompts)
+    np.testing.assert_array_equal(a, e)
+    assert not np.array_equal(a, p)
+
+    # a cascade whose cond VAE really differs must refuse explicit 'ids'
+    # (and auto must fall back to pixels)
+    def unshared():
+        base = _maskgit(16)
+        sr = _maskgit(32, cond=16, seed=1)
+        sr.cond_vae = nnx.data(
+            VQGanVAE(dim=16, layers=2, codebook_size=32, use_vgg_and_gan=False,
+                     rngs=nnx.Rngs(5)).copy_for_eval()
+        )
+        return Muse(base, sr)
+
+    fallback = GeneratePipeline(
+        unshared(), batch_size=2, timesteps=2, text_len=16,
+        compile_cache=False,
+    )
+    assert fallback.cond_via == "pixels"
+    with pytest.raises(AssertionError, match="share"):
+        GeneratePipeline(
+            unshared(), batch_size=2, timesteps=2, text_len=16,
+            compile_cache=False, cond_via="ids",
+        )
+
+
 def test_pipeline_deterministic_stream_advances():
     pipe = GeneratePipeline(
         _maskgit(), batch_size=2, timesteps=2, text_len=16, return_pil=False
@@ -128,6 +179,29 @@ def test_pipeline_negative_prompt():
     )
     out = pipe(["a", "b"])
     assert out.shape == (2, 16, 16, 3)
+
+
+def test_pipeline_cascade_mesh_matches_single():
+    """The serving default for shared-VAE cascades (cond_via auto → ids)
+    under SPMD: a data-parallel cascade pipeline is token-identical to the
+    meshless one — the base stage's token grid shards over the data axis
+    and conditions the super-res decode in place."""
+    from muse_maskgit_pytorch_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    single = GeneratePipeline(
+        Muse(_maskgit(16), _maskgit(32, cond=16, seed=1)),
+        batch_size=8, timesteps=2, text_len=16, return_pil=False, seed=3,
+        compile_cache=False,
+    )
+    assert single.cond_via == "ids"
+    sharded = GeneratePipeline(
+        Muse(_maskgit(16), _maskgit(32, cond=16, seed=1)),
+        batch_size=8, timesteps=2, text_len=16, return_pil=False, seed=3,
+        mesh=mesh, compile_cache=False,
+    )
+    prompts = [f"prompt {i}" for i in range(8)]
+    np.testing.assert_array_equal(single(prompts), sharded(prompts))
 
 
 def test_pipeline_data_parallel_mesh_matches_single():
@@ -205,9 +279,19 @@ def test_export_roundtrip_matches_direct(tmp_path):
     assert (np.asarray(out2) == np.asarray(out)).all()
 
 
-def test_export_cascade_matches_direct(tmp_path):
+@pytest.mark.parametrize("cond_via", ["pixels", "auto"])
+def test_export_cascade_matches_direct(tmp_path, cond_via):
+    """Both inter-stage contracts: 'pixels' (reference semantics) and 'auto',
+    which resolves to 'ids' here — the fixture VAEs are seed-identical, so
+    `vaes_share_weights` recognizes a shared codebook and the exported
+    program conditions the super-res stage on the base stage's token grid
+    directly (Muse cond_via='ids')."""
     muse = Muse(_maskgit(16), _maskgit(32, cond=16, seed=1))
-    ep = export_pipeline(muse, batch_size=2, text_len=16, timesteps=2)
+    ep = export_pipeline(
+        muse, batch_size=2, text_len=16, timesteps=2, cond_via=cond_via
+    )
+    via_ids = cond_via == "auto"
+    assert ep.meta["cond_via"] == ("ids" if via_ids else "pixels")
     embeds, mask = _embeds()
     key = jax.random.PRNGKey(9)
 
@@ -218,11 +302,17 @@ def test_export_cascade_matches_direct(tmp_path):
     # replicate the exported program's key split on the live modules
     k1, k2 = jax.random.split(key)
     low = muse.base_maskgit.generate(
-        text_embeds=embeds, text_mask=mask, rng=k1, timesteps=2, cond_scale=3.0
+        text_embeds=embeds, text_mask=mask, rng=k1, timesteps=2,
+        cond_scale=3.0, return_ids=via_ids,
+    )
+    sr_cond = (
+        dict(cond_token_ids=low)
+        if via_ids
+        else dict(cond_images=jnp.clip(low, 0.0, 1.0))
     )
     hi = muse.superres_maskgit.generate(
-        text_embeds=embeds, text_mask=mask, rng=k2, timesteps=2, cond_scale=3.0,
-        cond_images=jnp.clip(low, 0.0, 1.0),
+        text_embeds=embeds, text_mask=mask, rng=k2, timesteps=2,
+        cond_scale=3.0, **sr_cond,
     )
     hi_u8 = (jnp.clip(hi, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     assert (np.asarray(out) == np.asarray(hi_u8)).all()
