@@ -107,13 +107,18 @@ def main():
     checksum = float(imgs.sum())  # device->host fetch: the only honest barrier
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s; out {imgs.shape}")
 
-    # timed runs — each run ends with a device->host fetch so lazy/async
-    # runtimes (e.g. tunneled PJRT) cannot report dispatch time as wall time
+    # timed runs — checksums accumulate ON DEVICE (each run's sum feeds the
+    # accumulator, so no program can be skipped) and ONE final fetch closes
+    # the window: lazy/async runtimes (tunneled PJRT) cannot report dispatch
+    # time as wall time, and the tunnel's per-fetch RPC jitter (30-200 ms on
+    # a bad-weather day) is paid once instead of once per run
     n_runs = 5
     t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for i in range(n_runs):
         imgs = run(jax.random.PRNGKey(i + 1))
-        checksum += float(imgs.sum())
+        acc = acc + imgs.sum()
+    checksum += float(acc)
     elapsed = time.perf_counter() - t0
     images_per_sec = batch * n_runs / elapsed
     log(f"{n_runs} runs of batch {batch} in {elapsed:.2f}s -> {images_per_sec:.2f} img/s/chip (checksum {checksum:.1f})")
@@ -129,9 +134,11 @@ def main():
     ids = retry_compile(lambda: enc(vae_state, img_batch))
     _ = float(ids.sum())
     t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for _ in range(10):
         ids = enc(vae_state, img_batch)
-        _ = float(ids.sum())
+        acc = acc + ids.sum()
+    _ = float(acc)
     enc_ms = (time.perf_counter() - t0) / 10 / batch * 1000
 
     @jax.jit
@@ -141,9 +148,11 @@ def main():
     out = retry_compile(lambda: dec(vae_state, ids))
     _ = float(out.sum())
     t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for _ in range(10):
         out = dec(vae_state, ids)
-        _ = float(out.sum())
+        acc = acc + out.sum()
+    _ = float(acc)
     dec_ms = (time.perf_counter() - t0) / 10 / batch * 1000
     log(f"VQ encode {enc_ms:.2f} ms/img, decode {dec_ms:.2f} ms/img")
 
@@ -228,9 +237,11 @@ def main():
     log(f"cascade first call: {time.perf_counter() - t0:.1f}s; out {out.shape}")
     n_cas = 3
     t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for i in range(n_cas):
         out = cascade(jax.random.PRNGKey(i + 1))
-        checksum += float(out.sum())
+        acc = acc + out.sum()  # device-side chain; one fetch closes the window
+    checksum += float(acc)
     cas_elapsed = time.perf_counter() - t0
     cascade_img_s = cas_batch * n_cas / cas_elapsed
     log(f"{n_cas} cascade runs of batch {cas_batch} in {cas_elapsed:.2f}s -> {cascade_img_s:.2f} img/s/chip text->512px")

@@ -313,9 +313,21 @@ def main():
     )
     print(json.dumps(report, indent=2))
     if args.assert_gates:
-        assert report["caption_match"] >= 0.8, report
-        assert report["unconditional_match"] <= report["caption_match"] - 0.5, report
-        assert report["shuffled_match_vs_original"] <= 0.2, report
+        # explicit exit-1 checks, not asserts: the gate must survive python -O
+        gates = [
+            ("caption_match >= 0.8", report["caption_match"] >= 0.8),
+            (
+                "unconditional_match <= caption_match - 0.5",
+                report["unconditional_match"] <= report["caption_match"] - 0.5,
+            ),
+            (
+                "shuffled_match_vs_original <= 0.2",
+                report["shuffled_match_vs_original"] <= 0.2,
+            ),
+        ]
+        failed = [name for name, ok in gates if not ok]
+        if failed:
+            raise SystemExit(f"semantic gates FAILED: {failed}; report={report}")
         print("all semantic gates PASSED")
 
 

@@ -28,6 +28,7 @@ Reference bugs fixed (SURVEY.md §2.4):
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Callable, List, Optional, Tuple, Union
 
 import chex
@@ -1353,6 +1354,20 @@ def _generate_jit(
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _leaves_all_equal(xs, ys):
+    return jnp.all(jnp.stack([jnp.array_equal(x, y) for x, y in zip(xs, ys)]))
+
+
+# verdicts of the (rare) fused value comparison, keyed by the two VAEs'
+# object ids — Muse.__call__(cond_via='ids') checks per generate call, and
+# without this a separately-restored cascade would pay a full-parameter
+# device comparison (plus a host fetch over the tunnel) per image batch.
+# Each entry carries weakrefs to the pair so a hit is honored only while
+# BOTH originals are alive (id() values can be reused after gc).
+_SHARE_VERDICTS: dict = {}
+
+
 def vaes_share_weights(a, b) -> bool:
     """True iff two VAEs carry the SAME weights — the precondition for
     handing one stage's token ids to the other (`Muse(cond_via='ids')`).
@@ -1363,7 +1378,8 @@ def vaes_share_weights(a, b) -> bool:
     leaf identity with zero device work. VAEs restored separately from the
     same checkpoint fall through to a single fused value comparison (one
     jitted program, one host fetch — not one RPC per leaf, which over the
-    axon tunnel would cost ~30 ms each)."""
+    axon tunnel would cost ~30 ms each); its verdict is memoized so
+    repeated calls on the same pair stay free."""
     if a is None or b is None:
         return a is b
     if a is b:
@@ -1380,12 +1396,15 @@ def vaes_share_weights(a, b) -> bool:
         for x, y in zip(la, lb)
     ):
         return False
-    eq = jax.jit(
-        lambda xs, ys: jnp.all(
-            jnp.stack([jnp.array_equal(x, y) for x, y in zip(xs, ys)])
-        )
-    )(la, lb)
-    return bool(eq)
+    key = (id(a), id(b))
+    hit = _SHARE_VERDICTS.get(key)
+    if hit is not None:
+        ref_a, ref_b, verdict = hit
+        if ref_a() is a and ref_b() is b:
+            return verdict
+    verdict = bool(_leaves_all_equal(tuple(la), tuple(lb)))
+    _SHARE_VERDICTS[key] = (weakref.ref(a), weakref.ref(b), verdict)
+    return verdict
 
 
 class Muse(nnx.Module):
@@ -1447,11 +1466,14 @@ class Muse(nnx.Module):
         tests/test_maskgit.py::test_superres_generate_cond_token_ids_matches_cond_images.
         `return_lowres` still works under "ids" (the low-res decode then
         runs only because you asked for the images)."""
-        assert cond_via in ("pixels", "ids"), cond_via
-        if cond_via == "ids":
-            assert vaes_share_weights(
-                self.superres_maskgit.cond_vae, self.base_maskgit.vae
-            ), (
+        # ValueError, not assert: user-input validation must survive python -O
+        # (a wrong-codebook ids handoff would silently produce garbage images)
+        if cond_via not in ("pixels", "ids"):
+            raise ValueError(f"cond_via must be 'pixels' or 'ids', got {cond_via!r}")
+        if cond_via == "ids" and not vaes_share_weights(
+            self.superres_maskgit.cond_vae, self.base_maskgit.vae
+        ):
+            raise ValueError(
                 "cond_via='ids' requires the cascade stages to share one VAE "
                 "(the super-res cond codebook must be the base stage's); "
                 "this cascade's differ — use cond_via='pixels'"

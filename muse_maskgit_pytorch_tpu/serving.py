@@ -187,18 +187,22 @@ class GeneratePipeline:
         # exactly when they do — serving is this framework's own subsystem,
         # so it defaults to the better contract; Muse.__call__ itself
         # defaults to "pixels" (the reference's inter-stage semantics).
-        assert cond_via in ("auto", "pixels", "ids"), cond_via
-        assert self.is_cascade or cond_via == "auto", (
-            "cond_via is a cascade inter-stage knob; this pipeline serves a "
-            "single MaskGit"
-        )
+        # ValueError, not assert: config validation must survive python -O
+        # (a wrong-codebook ids handoff silently serves garbage images)
+        if cond_via not in ("auto", "pixels", "ids"):
+            raise ValueError(f"cond_via must be auto/pixels/ids, got {cond_via!r}")
+        if not self.is_cascade and cond_via != "auto":
+            raise ValueError(
+                "cond_via is a cascade inter-stage knob; this pipeline serves "
+                "a single MaskGit"
+            )
         self.cond_via = "pixels"
         if self.is_cascade:
             shared = vaes_share_weights(
                 model.superres_maskgit.cond_vae, model.base_maskgit.vae
             )
-            if cond_via == "ids":
-                assert shared, (
+            if cond_via == "ids" and not shared:
+                raise ValueError(
                     "cond_via='ids' requires the cascade stages to share "
                     "one VAE; this cascade's differ"
                 )
@@ -772,18 +776,21 @@ def export_pipeline(
     gen_kwargs = dict(timesteps=timesteps, temperature=temperature, sampler=sampler)
 
     standalone_cond = (not is_cascade) and model.resize_image_for_cond_image
-    # inter-stage contract resolved exactly like GeneratePipeline(cond_via=)
-    assert cond_via in ("auto", "pixels", "ids"), cond_via
-    assert is_cascade or cond_via == "auto", (
-        "cond_via is a cascade inter-stage knob; this export is a single MaskGit"
-    )
+    # inter-stage contract resolved exactly like GeneratePipeline(cond_via=);
+    # ValueError, not assert: config validation must survive python -O
+    if cond_via not in ("auto", "pixels", "ids"):
+        raise ValueError(f"cond_via must be auto/pixels/ids, got {cond_via!r}")
+    if not is_cascade and cond_via != "auto":
+        raise ValueError(
+            "cond_via is a cascade inter-stage knob; this export is a single MaskGit"
+        )
     via_ids = False
     if is_cascade:
         shared = vaes_share_weights(
             model.superres_maskgit.cond_vae, model.base_maskgit.vae
         )
-        if cond_via == "ids":
-            assert shared, "cond_via='ids' requires a shared cascade VAE"
+        if cond_via == "ids" and not shared:
+            raise ValueError("cond_via='ids' requires a shared cascade VAE")
         via_ids = shared if cond_via == "auto" else cond_via == "ids"
 
     def run(leaves_in, text_embeds, text_mask, key, *rest):

@@ -994,6 +994,23 @@ class MaskGitTrainer:
             )
             for gi, (_, paths) in enumerate(groups)
         ]
+        # a bucket smaller than one batch can never fill its static shape:
+        # the native loader's drop_last wraps the epoch and still returns a
+        # PARTIAL batch (take = num_seqs < batch_size), which would surprise
+        # the jitted step with a new shape mid-run (recompile at best, a
+        # divisibility crash under data-axis sharding at worst). Fail loudly
+        # at open time instead — merge tiny aspect buckets (fewer
+        # --auto-bucket bins) or lower batch_size.
+        for gi, ld in enumerate(loaders):
+            if ld.num_seqs < self.batch_size:
+                key = groups[gi][0]
+                raise ValueError(
+                    f"shard bucket {key} holds only {ld.num_seqs} sequences "
+                    f"on this process — fewer than batch_size="
+                    f"{self.batch_size}, so it cannot yield a full "
+                    "static-shape batch. Merge small aspect buckets (reduce "
+                    "--auto-bucket bins) or lower batch_size."
+                )
         cap_iters = [ld.captioned() if use_captions else None for ld in loaders]
 
         def pull(gi):

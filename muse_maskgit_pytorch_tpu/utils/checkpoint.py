@@ -84,6 +84,9 @@ def save_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
         tmp = path.with_name(path.name + ".tmp")
         tmp.write_bytes(data)
         os.replace(tmp, path)
+        # leaves recorded only for whole-module saves: with `exclude` the
+        # file's contents differ from the live module tree
+        _refresh_manifest_entry(path, module if not exclude else None)
     if jax.process_count() > 1:
         # barrier: peers must not load_module(path) before rank 0's rename
         # lands on the shared filesystem
@@ -118,6 +121,30 @@ def load_module(module: nnx.Module, path, exclude: Sequence[str] = ()) -> None:
 # silently-wrong embeddings.
 
 MANIFEST_NAME = "manifest.json"
+
+
+def _refresh_manifest_entry(path: Path, module: Optional[nnx.Module]) -> None:
+    """Keep an adjacent manifest honest after `save_module` overwrites a file
+    it covers: re-saving a fine-tuned module over a bring-up checkpoint must
+    not strand a stale sha256 that makes every later `load_module` reject the
+    legitimately-updated file. Only touches entries that already exist."""
+    import json
+
+    mpath = path.parent / MANIFEST_NAME
+    if not mpath.exists():
+        return
+    try:
+        manifest = json.loads(mpath.read_text())
+    except (OSError, json.JSONDecodeError):
+        return
+    try:
+        rel = str(path.resolve().relative_to(mpath.parent.resolve()))
+    except ValueError:
+        rel = path.name
+    key = rel if rel in manifest else (path.name if path.name in manifest else None)
+    if key is None:
+        return
+    write_manifest(path.parent, {key: manifest_entry(path, module)})
 
 
 def manifest_entry(path, module: Optional[nnx.Module] = None) -> dict:

@@ -82,3 +82,24 @@ def test_manifest_merges_and_keys_by_relpath(tmp_path):
     vocab.write_bytes(b"swapped vocabulary!!")
     with pytest.raises(ValueError):
         verify_manifest(vocab, tmp_path / MANIFEST_NAME)
+
+
+def test_save_module_refreshes_stale_manifest_entry(tmp_path):
+    """Re-saving a module over a manifest-covered file must refresh the
+    entry: a fine-tune that overwrites a bring-up checkpoint would otherwise
+    strand a stale sha256 and every later load_module would reject the
+    legitimately-updated file."""
+    m, path = _write(tmp_path)
+    # mutate the weights and re-save over the SAME covered path
+    m.lin.kernel[...] = m.lin.kernel[...] + 1.0
+    save_module(m, path)
+    assert verify_manifest(path) is True  # entry refreshed, not stale
+    fresh = Tiny(rngs=nnx.Rngs(1))
+    load_module(fresh, path)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.lin.kernel[...]), np.asarray(m.lin.kernel[...])
+    )
+    # files the manifest does NOT cover stay uncovered (no surprise entries)
+    other = tmp_path / "uncovered.msgpack"
+    save_module(m, other)
+    assert verify_manifest(other) is False

@@ -285,7 +285,7 @@ def test_vaes_share_weights():
 
 def test_muse_cond_via_ids_rejects_unshared_vae(rng):
     muse = Muse(base_maskgit(), superres_maskgit())  # distinct cond VAE
-    with pytest.raises(AssertionError, match="share one VAE"):
+    with pytest.raises(ValueError, match="share one VAE"):
         muse(["a cat"], rng=rng, timesteps=2, cond_via="ids",
              return_pil_images=False)
 

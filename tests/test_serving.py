@@ -155,7 +155,7 @@ def test_pipeline_cascade_cond_via_resolution():
         compile_cache=False,
     )
     assert fallback.cond_via == "pixels"
-    with pytest.raises(AssertionError, match="share"):
+    with pytest.raises(ValueError, match="share"):
         GeneratePipeline(
             unshared(), batch_size=2, timesteps=2, text_len=16,
             compile_cache=False, cond_via="ids",

@@ -231,3 +231,19 @@ def test_tokenize_cli_auto_bucket(tmp_path):
     assert grids[0][0] < grids[0][1] and grids[1][0] > grids[1][1], grids
     for s in shards:  # captions sidecar rode along
         assert s.with_name(s.name + ".captions").exists()
+
+
+def test_bucket_smaller_than_batch_fails_loudly(tmp_path):
+    """A bucket with fewer sequences than batch_size can never fill its
+    static shape (the native loader's drop_last still yields a PARTIAL batch
+    after the epoch wrap) — train_from_shards must reject it at open time,
+    not surprise the jitted step with a new shape mid-run."""
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 32, size=(8, 16)).astype(np.int32)
+    tiny = rng.integers(0, 32, size=(2, 32)).astype(np.int32)  # < batch_size 4
+    pa, pb = tmp_path / "big.bin", tmp_path / "tiny.bin"
+    write_shard(pa, big, grid=(2, 8))
+    write_shard(pb, tiny, grid=(4, 8))
+    t = _rect_trainer(tmp_path, "run-tiny", num_train_steps=2, save_model_every=10**9)
+    with pytest.raises(ValueError, match="fewer than batch_size"):
+        t.train_from_shards([pa, pb], loader_seed=3, num_threads=1)
