@@ -1403,6 +1403,11 @@ def vaes_share_weights(a, b) -> bool:
         if ref_a() is a and ref_b() is b:
             return verdict
     verdict = bool(_leaves_all_equal(tuple(la), tuple(lb)))
+    # evict entries whose VAEs were collected (a long-lived process that
+    # churns pipelines would otherwise grow the cache without bound)
+    dead = [k for k, (ra, rb, _) in _SHARE_VERDICTS.items() if ra() is None or rb() is None]
+    for k in dead:
+        del _SHARE_VERDICTS[k]
     _SHARE_VERDICTS[key] = (weakref.ref(a), weakref.ref(b), verdict)
     return verdict
 

@@ -275,12 +275,31 @@ def test_vaes_share_weights():
     genuine mismatch."""
     from muse_maskgit_pytorch_tpu.models.maskgit import vaes_share_weights
 
+    import gc
+
+    from muse_maskgit_pytorch_tpu.models import maskgit as mg_mod
+
     src = tiny_vae()
     a, b = src.copy_for_eval(), src.copy_for_eval()
     assert vaes_share_weights(a, b)  # shared jax.Array leaves
     assert vaes_share_weights(tiny_vae(), tiny_vae())  # same seed, new arrays
     assert not vaes_share_weights(tiny_vae(), tiny_vae(seed=3))
     assert not vaes_share_weights(a, None) and vaes_share_weights(None, None)
+
+    # verdict-cache hygiene: entries whose VAEs were collected are evicted on
+    # the next value-comparison miss (long-lived serving processes that churn
+    # pipelines must not grow the cache without bound)
+    c, d = tiny_vae(), tiny_vae()
+    assert vaes_share_weights(c, d)
+    assert (id(c), id(d)) in mg_mod._SHARE_VERDICTS
+    del c, d
+    gc.collect()
+    e, f = tiny_vae(), tiny_vae(seed=3)
+    assert not vaes_share_weights(e, f)  # miss -> comparison -> eviction sweep
+    assert all(
+        ra() is not None and rb() is not None
+        for ra, rb, _ in mg_mod._SHARE_VERDICTS.values()
+    )
 
 
 def test_muse_cond_via_ids_rejects_unshared_vae(rng):
