@@ -105,6 +105,10 @@ def main():
     t0 = time.perf_counter()
     imgs = retry_compile(lambda: run(rng))
     checksum = float(imgs.sum())  # device->host fetch: the only honest barrier
+    # warm the accumulator-chain programs (scalar add on the sum's dtype)
+    # OUTSIDE the window: a first-time remote compile of even a trivial eager
+    # op can take minutes on a bad-weather tunnel day (CLAUDE.md)
+    _ = float(jnp.float32(0.0) + imgs.sum())
     log(f"first call (compile+run): {time.perf_counter() - t0:.1f}s; out {imgs.shape}")
 
     # timed runs — checksums accumulate ON DEVICE (each run's sum feeds the
@@ -132,7 +136,7 @@ def main():
         return nnx.merge(vae_graphdef, state).encode(img, train=False)[1]
 
     ids = retry_compile(lambda: enc(vae_state, img_batch))
-    _ = float(ids.sum())
+    _ = float(jnp.float32(0.0) + ids.sum())  # fetch + warm the acc chain
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     for _ in range(10):
@@ -146,7 +150,7 @@ def main():
         return nnx.merge(vae_graphdef, state).decode_from_ids(ids)
 
     out = retry_compile(lambda: dec(vae_state, ids))
-    _ = float(out.sum())
+    _ = float(jnp.float32(0.0) + out.sum())  # fetch + warm the acc chain
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     for _ in range(10):
@@ -234,6 +238,7 @@ def main():
     t0 = time.perf_counter()
     out = retry_compile(lambda: cascade(jax.random.PRNGKey(0)))
     checksum = float(out.sum())
+    _ = float(jnp.float32(0.0) + out.sum())  # warm the acc chain pre-window
     log(f"cascade first call: {time.perf_counter() - t0:.1f}s; out {out.shape}")
     n_cas = 3
     t0 = time.perf_counter()
